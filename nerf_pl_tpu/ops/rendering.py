@@ -1,0 +1,169 @@
+"""The coarse→fine volume renderer.
+
+One jittable function covers the reference's three renderer files:
+  * ``mode='rgb'``      — reference ``models/rendering.py:84-272`` (keys
+    ``rgb_/depth_/opacity_{coarse,fine}``; ``test_time`` skips coarse rgb and
+    returns only ``opacity_coarse`` for the coarse model).
+  * ``mode='sigma'``    — reference ``models/rendering_shadows.py:94-281``
+    (sigma-only MLP queries; keys ``depth_/opacity_/disp_map_{coarse,fine}``).
+  * ``mode='rgb_disp'`` — reference ``models/rendering_rgb_sm.py:87-480``
+    (rgb keys plus ``disp_map_*``; the shadow-map keys ``sm_*`` are added by
+    ``ops.shadow_mapping.efficient_sm`` on top of this renderer's output).
+
+TPU-first design notes (vs the reference's chunked torch loops):
+  * No chunk loop — the whole (N_rays, S) batch is one traced computation;
+    XLA tiles the (N_rays*S, 256) matmuls onto the MXU.  Whole-image eval
+    wraps THIS function in a ``lax.map`` over fixed-size ray chunks instead
+    (see ``tools/eval.py``).
+  * Fine-pass z-samples come from the Pallas ``searchsorted`` importance
+    sampler with a ``stop_gradient`` exactly where the reference ``.detach()``
+    is (``models/rendering.py:253-255``).
+  * All randomness is explicit: a single PRNG key is split per consumer, and
+    every random draw can be overridden via ``overrides`` for torch-parity
+    tests (u/jitter/noise/perturb injection, SURVEY.md §7 "hard parts").
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.embedding import posenc
+from ..models.nerf import nerf_apply
+from .compositing import composite, compute_weights
+from .sampling import perturb_z_vals, sample_pdf, stratified_z_vals
+
+Results = Dict[str, jnp.ndarray]
+
+
+def _query(
+    params,
+    xyz: jnp.ndarray,  # (N_rays, S, 3)
+    dir_embedded: Optional[jnp.ndarray],  # (N_rays, Cd) or None for sigma-only
+    xyz_freqs: int,
+    sigma_only: bool,
+    compute_dtype,
+):
+    """Embed positions and run the MLP on the flattened point batch."""
+    N_rays, S, _ = xyz.shape
+    xyz_emb = posenc(xyz.reshape(-1, 3), xyz_freqs)  # (N*S, Cx)
+    if sigma_only:
+        out = nerf_apply(params, xyz_emb, sigma_only=True, compute_dtype=compute_dtype)
+        return out.reshape(N_rays, S), None
+    dir_emb = jnp.broadcast_to(
+        dir_embedded[:, None, :], (N_rays, S, dir_embedded.shape[-1])
+    ).reshape(N_rays * S, -1)
+    out = nerf_apply(
+        params,
+        jnp.concatenate([xyz_emb, dir_emb], axis=-1),
+        sigma_only=False,
+        compute_dtype=compute_dtype,
+    )
+    out = out.reshape(N_rays, S, 4)
+    return out[..., 3], out[..., :3]  # sigmas (N,S), rgbs (N,S,3)
+
+
+def render_rays(
+    params_coarse,
+    params_fine,
+    rays: jnp.ndarray,  # (N_rays, 8) = [o, d, near, far]
+    key: Optional[jax.Array],
+    *,
+    N_samples: int = 64,
+    use_disp: bool = False,
+    perturb: float = 0.0,
+    noise_std: float = 1.0,
+    N_importance: int = 0,
+    white_back: bool = False,
+    test_time: bool = False,
+    mode: str = "rgb",
+    xyz_freqs: int = 10,
+    dir_freqs: int = 4,
+    compute_dtype=jnp.float32,
+    overrides: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Results:
+    """Render a batch of rays coarse(+fine). See module docstring for modes."""
+    assert mode in ("rgb", "sigma", "rgb_disp"), mode
+    ov = overrides or {}
+    sigma_mode = mode == "sigma"
+    want_disp = mode in ("sigma", "rgb_disp")
+
+    N_rays = rays.shape[0]
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+
+    if key is not None:
+        k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+    else:
+        k_perturb = k_noise_c = k_pdf = k_noise_f = None
+
+    dir_embedded = None if sigma_mode else posenc(rays_d, dir_freqs)
+
+    z_vals = stratified_z_vals(near, far, N_samples, use_disp)
+    z_vals = jnp.broadcast_to(z_vals, (N_rays, N_samples))
+    if perturb > 0:
+        z_vals = perturb_z_vals(
+            z_vals, perturb, key=k_perturb, rand=ov.get("perturb_rand")
+        )
+
+    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    result: Results = {}
+    coarse_sigma_only = sigma_mode or test_time
+    sigmas_c, rgbs_c = _query(
+        params_coarse, xyz_coarse, dir_embedded, xyz_freqs,
+        coarse_sigma_only, compute_dtype,
+    )
+    weights_coarse = compute_weights(
+        sigmas_c, z_vals, rays_d, noise_std, key=k_noise_c,
+        noise=ov.get("noise_coarse"),
+    )
+    if test_time:
+        result["opacity_coarse"] = weights_coarse.sum(axis=1)
+    else:
+        comp = composite(
+            weights_coarse, z_vals, rgbs_c, white_back=white_back and not sigma_mode
+        )
+        result["depth_coarse"] = comp["depth"]
+        result["opacity_coarse"] = comp["opacity"]
+        if not sigma_mode:
+            result["rgb_coarse"] = comp["rgb"]
+        if want_disp:
+            result["disp_map_coarse"] = comp["disp"]
+
+    if N_importance > 0:
+        # det when unperturbed; the reference computes det=(perturb==0) but its
+        # sample_pdf ignores it (models/rendering.py:51-55) — honoring det is a
+        # documented fix (SURVEY.md §7) that makes eval deterministic.
+        z_fine = sample_pdf(
+            rays,
+            weights_coarse[:, 1:-1],
+            N_importance,
+            det=(perturb == 0),
+            key=k_pdf,
+            u=ov.get("u"),
+            jitter=ov.get("jitter"),
+        )
+        z_fine = jax.lax.stop_gradient(z_fine)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+
+        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+        sigmas_f, rgbs_f = _query(
+            params_fine, xyz_fine, dir_embedded, xyz_freqs, sigma_mode, compute_dtype
+        )
+        weights_fine = compute_weights(
+            sigmas_f, z_all, rays_d, noise_std, key=k_noise_f,
+            noise=ov.get("noise_fine"),
+        )
+        comp = composite(
+            weights_fine, z_all, rgbs_f, white_back=white_back and not sigma_mode
+        )
+        result["depth_fine"] = comp["depth"]
+        result["opacity_fine"] = comp["opacity"]
+        if not sigma_mode:
+            result["rgb_fine"] = comp["rgb"]
+        if want_disp:
+            result["disp_map_fine"] = comp["disp"]
+
+    return result

@@ -1,0 +1,95 @@
+"""Batched row-wise ``searchsorted`` — the framework's native-kernel slot.
+
+This replaces the reference's only native component, the ``torchsearchsorted``
+C++/CUDA submodule (reference: ``.gitmodules``, used at
+``models/rendering.py:2,37`` and ``models/rendering_rgb_sm.py:2,40``): for each
+row ``b``, find insertion indices of ``values[b, k]`` into the sorted row
+``sorted_seq[b, :]``.
+
+TPU design: the rows are tiny (the per-ray CDF is N_samples-1 ≈ 63 wide) and
+the batch is huge, so a per-thread binary search (the CUDA design) is the
+wrong shape for a 8x128-lane VPU.  Instead we use a branchless *rank* kernel:
+``index = sum_m [values >= row[m]]`` (``side='right'``; ``>`` for 'left'),
+which is a fixed-length loop of fully vectorized compare+accumulate over the
+row dimension — no gathers, no divergence.  The Pallas kernel keeps one
+(block_b, M) slab of rows and one (block_b, K) slab of queries resident in
+VMEM and emits the int32 ranks; XLA can't fuse this pattern as tightly because
+it materializes the (B, K, M) broadcast through a reduce, so the kernel also
+saves HBM traffic.
+
+A pure-jnp fallback (same math) is used on CPU and as the reference for tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def searchsorted_jnp(sorted_seq: jnp.ndarray, values: jnp.ndarray, side: str = "right"):
+    """Reference implementation: (B, M), (B, K) -> int32 (B, K)."""
+    if side == "right":
+        cmp = values[:, :, None] >= sorted_seq[:, None, :]
+    elif side == "left":
+        cmp = values[:, :, None] > sorted_seq[:, None, :]
+    else:
+        raise ValueError(f"side must be 'left' or 'right', got {side}")
+    return cmp.sum(axis=-1).astype(jnp.int32)
+
+
+def _rank_kernel(seq_ref, val_ref, out_ref, *, M: int, right: bool):
+    vals = val_ref[:]  # (BB, K)
+    acc = jnp.zeros(vals.shape, dtype=jnp.int32)
+    # fixed-length branchless rank: one vectorized compare per row element
+    for m in range(M):
+        col = seq_ref[:, m : m + 1]  # (BB, 1)
+        hit = (vals >= col) if right else (vals > col)
+        acc = acc + hit.astype(jnp.int32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("side", "block_b"))
+def searchsorted_pallas(
+    sorted_seq: jnp.ndarray,
+    values: jnp.ndarray,
+    side: str = "right",
+    block_b: int = 256,
+):
+    B, M = sorted_seq.shape
+    Bv, K = values.shape
+    assert B == Bv, (B, Bv)
+    grid = (pl.cdiv(B, block_b),)
+    kernel = functools.partial(_rank_kernel, M=M, right=(side == "right"))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * M,
+            bytes_accessed=4 * B * (M + 2 * K),
+            transcendentals=0,
+        ),
+    )(sorted_seq, values)
+
+
+def searchsorted(sorted_seq, values, side: str = "right"):
+    """Batched searchsorted; dispatches to the Pallas kernel on TPU.
+
+    Insertion indices are piecewise-constant in the inputs (zero derivative
+    a.e.), so the inputs are stop-gradiented — this also keeps the Pallas
+    call out of autodiff linearization when a consumer differentiates around
+    it (the reference likewise detaches, ``models/rendering.py:253-255``).
+    """
+    sorted_seq = jax.lax.stop_gradient(sorted_seq)
+    values = jax.lax.stop_gradient(values)
+    if jax.default_backend() == "tpu":
+        return searchsorted_pallas(sorted_seq, values, side=side)
+    return searchsorted_jnp(sorted_seq, values, side=side)

@@ -1,0 +1,67 @@
+"""Device-mesh construction and ray-batch sharding.
+
+This is the TPU-native replacement for the reference's single parallelism
+strategy — Lightning DDP over NCCL (``train.py:174-175``; SURVEY.md §2.3):
+
+  * one 1-D ``Mesh`` axis ``'rays'`` over all chips;
+  * the global ray buffer sharded ``P('rays')`` (each chip owns a contiguous
+    shard, the analogue of ``DistributedSampler`` rank splits);
+  * MLP params replicated; gradient ``psum`` over ICI is emitted by XLA from
+    the ``shard_map``-ed train step (``training.trainer``), overlapped with
+    the backward pass by the latency-hiding scheduler.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+pass ``jax.devices()`` (global); each host feeds only its addressable shards.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_map(f, mesh: Mesh, in_specs, out_specs):
+    """Version-compat wrapper over ``jax.shard_map`` (replication checking
+    off: our outputs are made replicated by explicit ``pmean``)."""
+    try:
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except TypeError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def make_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("rays",))
+
+
+def local_shard_size(n: int, mesh: Mesh) -> int:
+    """Rows per device after truncating to a multiple of the mesh size."""
+    d = mesh.devices.size
+    return n // d
+
+
+def shard_rays(buf: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a (N, C) host buffer on the mesh sharded along rows.
+
+    N is truncated to a multiple of the device count (at most ``D-1`` rays
+    dropped per epoch — the same rounding DistributedSampler applies).
+    """
+    d = mesh.devices.size
+    n = (buf.shape[0] // d) * d
+    sharding = NamedSharding(mesh, P("rays"))
+    return jax.device_put(buf[:n], sharding)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

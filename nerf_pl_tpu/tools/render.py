@@ -1,0 +1,82 @@
+"""Whole-image rendering: fixed-shape chunked renderer for val/eval.
+
+The reference bounds memory with Python chunk loops (``train.py:53-63``,
+``eval.py:65-67``).  Under jit we instead pad the H*W rays to a multiple of a
+static ``chunk``, reshape to ``(n_chunks, chunk, 8)`` and ``lax.map`` the
+batch renderer over chunks — one compiled program per (image size, chunk).
+On a mesh, chunks are sharded across devices via ``shard_map`` (each chip
+renders its share of the image, results concatenate on the ray axis), the
+TPU equivalent of sharding eval rays across GPUs (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.rendering import render_rays
+
+from ..parallel.mesh import shard_map
+
+
+def _render_chunked(params, rays_chunks, keys, render_kwargs):
+    def one(args):
+        rays, key = args
+        return render_rays(
+            params.get("coarse"), params.get("fine"), rays, key, **render_kwargs
+        )
+
+    return jax.lax.map(one, (rays_chunks, keys))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "render_kwargs_tuple", "mesh")
+)
+def _render_image_jit(params, rays, key, chunk, render_kwargs_tuple, mesh):
+    render_kwargs = dict(render_kwargs_tuple)
+    n = rays.shape[0]
+    n_chunks = n // chunk
+    rays_chunks = rays.reshape(n_chunks, chunk, rays.shape[-1])
+    keys = jax.random.split(key, n_chunks)
+
+    if mesh is None or mesh.devices.size == 1:
+        out = _render_chunked(params, rays_chunks, keys, render_kwargs)
+    else:
+        fn = shard_map(
+            lambda p, rc, ks: _render_chunked(p, rc, ks, render_kwargs),
+            mesh,
+            in_specs=(P(), P("rays"), P("rays")),
+            out_specs=P("rays"),
+        )
+        out = fn(params, rays_chunks, keys)
+    return {k: v.reshape(-1, *v.shape[2:]) for k, v in out.items()}
+
+
+def render_image(
+    params: Dict[str, Any],
+    rays: jnp.ndarray,  # (N, 8)
+    key: jax.Array,
+    chunk: int = 32 * 1024,
+    mesh: Optional[Mesh] = None,
+    **render_kwargs,
+) -> Dict[str, jnp.ndarray]:
+    """Render N rays with bounded memory; returns the render_rays dict."""
+    n = rays.shape[0]
+    d = 1 if mesh is None else mesh.devices.size
+    chunk = min(chunk, max(d * 256, (n + d - 1) // d))
+    # pad so chunks divide evenly AND chunks divide across devices
+    n_chunks = -(-n // chunk)
+    n_chunks = -(-n_chunks // d) * d
+    n_pad = n_chunks * chunk - n
+    if n_pad:
+        rays = jnp.concatenate([rays, jnp.broadcast_to(rays[-1:], (n_pad, rays.shape[-1]))])
+    out = _render_image_jit(
+        params, rays, key, chunk, tuple(sorted(render_kwargs.items())), mesh
+    )
+    if n_pad:
+        out = {k: v[:n] for k, v in out.items()}
+    return out

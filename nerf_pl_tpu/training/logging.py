@@ -1,0 +1,49 @@
+"""Metrics/observability (reference §5.5: TestTubeLogger + TensorBoard).
+
+``RunLogger`` writes scalars/images to TensorBoard when available
+(``torch.utils.tensorboard`` — host-side only, never on the compute path)
+and always appends machine-readable JSONL to ``<log_dir>/<exp>/metrics.jsonl``
+so runs are greppable without TensorBoard.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class RunLogger:
+    def __init__(self, log_dir: str, exp_name: str, use_tensorboard: bool = True):
+        self.dir = os.path.join(log_dir, exp_name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(self.dir)
+            except Exception:
+                self._tb = None
+
+    def scalars(self, step: int, values: Dict[str, float]) -> None:
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in values.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb:
+            for k, v in values.items():
+                self._tb.add_scalar(k, float(v), int(step))
+
+    def images(self, step: int, tag: str, images: np.ndarray) -> None:
+        """images: (N, 3, H, W) float in [0, 1]."""
+        if self._tb:
+            self._tb.add_images(tag, np.asarray(images), int(step))
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb:
+            self._tb.close()

@@ -1,0 +1,322 @@
+"""The vanilla-NeRF training system (reference ``train.py`` NeRFSystem).
+
+TPU-first redesign of the Lightning loop (SURVEY.md §3.1):
+
+  * The whole ray buffer lives in HBM, sharded ``P('rays')`` over the mesh —
+    each chip owns a contiguous shard (DistributedSampler parity).
+  * One jitted ``epoch`` program per epoch: inside a ``shard_map``, each chip
+    draws an independent epoch permutation of its local shard, then
+    ``lax.scan``s the fused train step (embed→MLP→composite→sample_pdf→fine→
+    loss→grad→psum→adam) over all steps of the epoch.  No host round-trips,
+    no dataloader processes, no H2D copies in the loop.
+  * Gradients are ``lax.pmean``-ed over the ``'rays'`` axis (XLA lowers this
+    to an ICI all-reduce overlapped with the backward pass).
+  * Validation renders whole images through ``tools.render.render_image``
+    with train-time perturb/noise, exactly like the reference's
+    ``validation_step`` (``train.py:119-138`` calls the same forward).
+  * Checkpoints: top-5 by val loss + last (reference ``train.py:154-158``
+    ModelCheckpoint semantics), single msgpack file per epoch.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data import dataset_dict
+from ..models.nerf import init_nerf, num_params
+from ..ops.rendering import render_rays
+from ..parallel.mesh import make_mesh, replicate, shard_map, shard_rays
+from ..tools.render import render_image
+from ..utils.visualization import visualize_depth
+from . import checkpoints
+from .logging import RunLogger
+from .losses import loss_dict
+from .metrics import psnr as psnr_metric
+from .optim import get_optimizer, make_lr_schedule
+from jax.sharding import PartitionSpec as P
+
+
+def init_params(cfg: Config, key: jax.Array) -> Dict[str, Any]:
+    kc, kf = jax.random.split(key)
+    params = {"coarse": init_nerf(kc)}
+    if cfg.N_importance > 0:
+        params["fine"] = init_nerf(kf)
+    return params
+
+
+def render_kwargs_from_cfg(cfg: Config, white_back: bool, train: bool) -> dict:
+    return dict(
+        N_samples=cfg.N_samples,
+        use_disp=cfg.use_disp,
+        perturb=cfg.perturb if train else 0.0,
+        noise_std=cfg.noise_std if train else 0.0,
+        N_importance=cfg.N_importance,
+        white_back=white_back,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+
+def make_epoch_fn(
+    cfg: Config,
+    mesh,
+    optimizer: optax.GradientTransformation,
+    white_back: bool,
+    mode: str = "rgb",
+    loss_name: str = "mse",
+):
+    """Build the jitted one-epoch program (see module docstring)."""
+    loss_fn_inner = loss_dict[loss_name]
+    rkw = render_kwargs_from_cfg(cfg, white_back, train=True)
+    B = cfg.batch_size
+    target_key = {"rgb": "rgb", "sigma": "depth", "rgb_disp": "rgb"}[mode]
+
+    def loss_and_metrics(params, rays, rgbs, key):
+        results = render_rays(
+            params.get("coarse"), params.get("fine"), rays, key, mode=mode, **rkw
+        )
+        loss = loss_fn_inner(results, rgbs)
+        typ = "fine" if f"{target_key}_fine" in results else "coarse"
+        psnr = psnr_metric(results[f"{target_key}_{typ}"], rgbs)
+        return loss, psnr
+
+    def device_epoch(params, opt_state, rays, rgbs, epoch_key):
+        """Runs on ONE device's shard inside shard_map."""
+        dev = jax.lax.axis_index("rays")
+        n_loc = rays.shape[0]
+        steps = n_loc // B
+        perm = jax.random.permutation(
+            jax.random.fold_in(epoch_key, dev), n_loc
+        )
+
+        def body(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+            rb = rays[idx]
+            cb = rgbs[idx]
+            key = jax.random.fold_in(jax.random.fold_in(epoch_key, 1 + dev), i)
+            (loss, psnr), grads = jax.value_and_grad(
+                loss_and_metrics, has_aux=True
+            )(params, rb, cb, key)
+            grads = jax.lax.pmean(grads, "rays")
+            loss = jax.lax.pmean(loss, "rays")
+            psnr = jax.lax.pmean(psnr, "rays")
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, psnr)
+
+        (params, opt_state), (losses, psnrs) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps)
+        )
+        return params, opt_state, losses, psnrs
+
+    fn = shard_map(
+        device_epoch,
+        mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+class NeRFSystem:
+    """Vanilla NeRF trainer (reference ``train.py:27-148``)."""
+
+    mode = "rgb"
+    loss_name = "mse"
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg.num_devices)
+        self.logger = RunLogger(cfg.log_dir, cfg.exp_name)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self._prepare_data()
+        self._build_state()
+        self.epoch_fn = make_epoch_fn(
+            cfg,
+            self.mesh,
+            self.optimizer,
+            self.white_back,
+            mode=self.mode,
+            loss_name=self.loss_name,
+        )
+        self.ckpt_root = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+        self._topk: list = []  # (val_loss, path)
+
+    # -- data ---------------------------------------------------------------
+    def _prepare_data(self):
+        cfg = self.cfg
+        ds_cls = dataset_dict[cfg.dataset_name]
+        kwargs = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh))
+        if cfg.dataset_name == "blender":
+            kwargs.update(
+                near=cfg.blender_near,
+                far=cfg.blender_far,
+                white_back=cfg.white_back,
+                black_and_white=cfg.black_and_white_test,
+            )
+        if cfg.dataset_name == "llff":
+            kwargs.update(spheric_poses=cfg.spheric_poses)
+        self.train_dataset = ds_cls(split="train", **kwargs)
+        self.val_dataset = ds_cls(split="val", **kwargs)
+        self.white_back = self.train_dataset.white_back
+        # device-resident sharded buffers
+        self.rays_buf = shard_rays(self.train_dataset.all_rays, self.mesh)
+        self.rgbs_buf = shard_rays(self.train_dataset.all_rgbs, self.mesh)
+
+    # -- state --------------------------------------------------------------
+    def _build_state(self):
+        cfg = self.cfg
+        d = self.mesh.devices.size
+        n = self.rays_buf.shape[0]
+        self.steps_per_epoch = (n // d) // cfg.batch_size
+        schedule = make_lr_schedule(
+            cfg.lr,
+            cfg.lr_scheduler,
+            max(self.steps_per_epoch, 1),
+            cfg.num_epochs,
+            cfg.decay_step,
+            cfg.decay_gamma,
+            cfg.poly_exp,
+            cfg.warmup_multiplier,
+            cfg.warmup_epochs,
+            cfg.optimizer,
+        )
+        self.schedule = schedule
+        self.optimizer = get_optimizer(
+            cfg.optimizer, schedule, cfg.momentum, cfg.weight_decay
+        )
+        self.rng, kp = jax.random.split(self.rng)
+        params = init_params(cfg, kp)
+        if cfg.ckpt_path:
+            for name in list(params):
+                params[name] = checkpoints.load_ckpt_into(
+                    params[name],
+                    cfg.ckpt_path,
+                    model_name=name,
+                    prefixes_to_ignore=cfg.prefixes_to_ignore,
+                )
+        opt_state = self.optimizer.init(params)
+        self.params = replicate(params, self.mesh)
+        self.opt_state = replicate(opt_state, self.mesh)
+        self.epoch0 = 0
+        if cfg.ckpt_path and cfg.ckpt_path.endswith(".ckpt"):
+            # full-state resume (params+opt+epoch) when given a trainer ckpt
+            try:
+                state = checkpoints.load_checkpoint(
+                    cfg.ckpt_path,
+                    {"params": params, "opt_state": opt_state, "epoch": 0},
+                )
+                self.params = replicate(state["params"], self.mesh)
+                self.opt_state = replicate(state["opt_state"], self.mesh)
+                self.epoch0 = int(state["epoch"]) + 1
+            except Exception:
+                pass
+
+    # -- validation ---------------------------------------------------------
+    def validation(self, epoch: int, max_images: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        rkw = render_kwargs_from_cfg(cfg, self.white_back, train=True)
+        rkw["mode"] = self.mode
+        n_img = len(self.val_dataset)
+        if max_images is not None:
+            n_img = min(n_img, max_images)
+        losses, psnrs = [], []
+        loss_fn_inner = loss_dict[self.loss_name]
+        for i in range(n_img):
+            sample = self.val_dataset[i]
+            rays = jnp.asarray(sample["rays"])
+            rgbs = jnp.asarray(sample["rgbs"])
+            self.rng, k = jax.random.split(self.rng)
+            results = render_image(
+                self.params, rays, k, chunk=cfg.chunk, mesh=self.mesh, **rkw
+            )
+            loss = loss_fn_inner(results, rgbs)
+            typ = "fine" if "rgb_fine" in results else "coarse"
+            psnrs.append(float(psnr_metric(results[f"rgb_{typ}"], rgbs)))
+            losses.append(float(loss))
+            if i == 0:
+                W, H = cfg.img_wh
+                img = np.asarray(results[f"rgb_{typ}"]).reshape(H, W, 3)
+                gt = np.asarray(rgbs).reshape(H, W, 3)
+                depth = visualize_depth(
+                    np.asarray(results[f"depth_{typ}"]).reshape(H, W)
+                )
+                stack = np.stack(
+                    [gt.transpose(2, 0, 1), img.transpose(2, 0, 1), depth]
+                )
+                self.logger.images(
+                    epoch * self.steps_per_epoch, "val/GT_pred_depth", stack
+                )
+        return {"val/loss": float(np.mean(losses)), "val/psnr": float(np.mean(psnrs))}
+
+    # -- checkpointing ------------------------------------------------------
+    def save_ckpt(self, epoch: int, val_loss: float):
+        os.makedirs(self.ckpt_root, exist_ok=True)
+        path = os.path.join(self.ckpt_root, f"epoch={epoch}.ckpt")
+        checkpoints.save_checkpoint(
+            path,
+            {
+                "params": jax.device_get(self.params),
+                "opt_state": jax.device_get(self.opt_state),
+                "epoch": epoch,
+            },
+        )
+        self._topk.append((val_loss, path))
+        self._topk.sort(key=lambda t: t[0])
+        while len(self._topk) > 5:
+            _, worst = self._topk.pop()
+            if os.path.exists(worst):
+                os.remove(worst)
+
+    # -- main loop ----------------------------------------------------------
+    def fit(self):
+        cfg = self.cfg
+        if cfg.num_sanity_val_steps > 0:
+            metrics = self.validation(self.epoch0, max_images=cfg.num_sanity_val_steps)
+            print(f"[sanity] {metrics}")
+        global_step = self.epoch0 * self.steps_per_epoch
+        for epoch in range(self.epoch0, cfg.num_epochs):
+            self.rng, ek = jax.random.split(self.rng)
+            t0 = time.time()
+            self.params, self.opt_state, losses, psnrs = self.epoch_fn(
+                self.params, self.opt_state, self.rays_buf, self.rgbs_buf, ek
+            )
+            losses = np.asarray(losses)
+            psnrs = np.asarray(psnrs)
+            dt = time.time() - t0
+            global_step += self.steps_per_epoch
+            rays_per_s = (
+                self.steps_per_epoch
+                * cfg.batch_size
+                * self.mesh.devices.size
+                / max(dt, 1e-9)
+            )
+            self.logger.scalars(
+                global_step,
+                {
+                    "lr": float(self.schedule(global_step)),
+                    "train/loss": float(losses.mean()),
+                    "train/psnr": float(psnrs.mean()),
+                    "train/rays_per_s": rays_per_s,
+                },
+            )
+            msg = (
+                f"epoch {epoch}: loss {losses.mean():.5f} "
+                f"psnr {psnrs.mean():.2f} ({rays_per_s:,.0f} rays/s, {dt:.1f}s)"
+            )
+            if (epoch + 1) % cfg.val_every_n_epochs == 0 or epoch == cfg.num_epochs - 1:
+                val_metrics = self.validation(epoch)
+                self.logger.scalars(global_step, val_metrics)
+                msg += f" | val loss {val_metrics['val/loss']:.5f} psnr {val_metrics['val/psnr']:.2f}"
+                self.save_ckpt(epoch, val_metrics["val/loss"])
+            print(msg, flush=True)
+        self.logger.close()
+        return self.params

@@ -1,0 +1,158 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.ops.sampling import (
+    perturb_z_vals,
+    sample_pdf,
+    sample_pdf_bins,
+    stratified_z_vals,
+)
+from nerf_pl_tpu.ops.searchsorted import searchsorted_jnp, searchsorted_pallas
+
+
+def _random_cdf(rng, b, m):
+    w = rng.rand(b, m - 1).astype(np.float32) + 1e-5
+    pdf = w / w.sum(-1, keepdims=True)
+    cdf = np.cumsum(pdf, -1)
+    return np.concatenate([np.zeros((b, 1), np.float32), cdf], -1)
+
+
+def test_searchsorted_jnp_vs_numpy():
+    rng = np.random.RandomState(0)
+    cdf = _random_cdf(rng, 64, 65)
+    u = rng.rand(64, 33).astype(np.float32)
+    for side in ("left", "right"):
+        got = np.asarray(searchsorted_jnp(jnp.asarray(cdf), jnp.asarray(u), side))
+        want = np.stack(
+            [np.searchsorted(cdf[i], u[i], side=side) for i in range(64)]
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_searchsorted_pallas_interpret_matches():
+    """Pallas kernel (interpreter mode on CPU) vs the jnp reference."""
+    from jax.experimental import pallas as pl
+
+    rng = np.random.RandomState(1)
+    cdf = _random_cdf(rng, 300, 63)  # non-multiple of block to test padding
+    u = rng.rand(300, 128).astype(np.float32)
+    import functools
+    import importlib
+
+    ss = importlib.import_module("nerf_pl_tpu.ops.searchsorted")
+
+    # run the same kernel through the interpreter
+    out = pl.pallas_call(
+        functools.partial(ss._rank_kernel, M=63, right=True),
+        grid=(pl.cdiv(300, 128),),
+        in_specs=[
+            pl.BlockSpec((128, 63), lambda i: (i, 0)),
+            pl.BlockSpec((128, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((128, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((300, 128), jnp.int32),
+        interpret=True,
+    )(jnp.asarray(cdf), jnp.asarray(u))
+    want = np.asarray(searchsorted_jnp(jnp.asarray(cdf), jnp.asarray(u), "right"))
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_searchsorted_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(2)
+    cdf = _random_cdf(rng, 41, 17)
+    u = rng.rand(41, 9).astype(np.float32)
+    got = np.asarray(searchsorted_jnp(jnp.asarray(cdf), jnp.asarray(u), "right"))
+    want = torch.searchsorted(
+        torch.from_numpy(cdf), torch.from_numpy(u), right=True
+    ).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stratified_z_linear_and_disp():
+    near = jnp.full((4, 1), 2.0)
+    far = jnp.full((4, 1), 6.0)
+    z = np.asarray(stratified_z_vals(near, far, 5))
+    np.testing.assert_allclose(z[0], [2, 3, 4, 5, 6], rtol=1e-6)
+    zd = np.asarray(stratified_z_vals(near, far, 5, use_disp=True))
+    want = 1.0 / np.linspace(1 / 2.0, 1 / 6.0, 5)
+    np.testing.assert_allclose(zd[0], want, rtol=1e-6)
+
+
+def test_perturb_z_bounds():
+    near = jnp.full((8, 1), 2.0)
+    far = jnp.full((8, 1), 6.0)
+    z = jnp.broadcast_to(stratified_z_vals(near, far, 16), (8, 16))
+    zp = np.asarray(perturb_z_vals(z, 1.0, key=jax.random.PRNGKey(0)))
+    z = np.asarray(z)
+    mid = 0.5 * (z[:, :-1] + z[:, 1:])
+    upper = np.concatenate([mid, z[:, -1:]], -1)
+    lower = np.concatenate([z[:, :1], mid], -1)
+    assert (zp >= lower - 1e-6).all() and (zp <= upper + 1e-6).all()
+    # monotone non-decreasing per ray
+    assert (np.diff(zp, axis=-1) >= -1e-6).all()
+
+
+def naive_sample_pdf(rays, weights, n_imp, u, jitter, eps=1e-5):
+    """Loop re-implementation of the fork's sampler contract
+    (models/rendering.py:29-48)."""
+    b, m = weights.shape
+    out = np.zeros((b, n_imp), np.float32)
+    for i in range(b):
+        w = weights[i] + eps
+        pdf = w / w.sum()
+        cdf = np.concatenate([[0.0], np.cumsum(pdf)])
+        inds = np.searchsorted(cdf, u[i], side="right").astype(np.float32) - 1
+        inds = np.maximum(inds, 0)
+        z_steps = (inds + jitter[i]) / m
+        near, far = rays[i, -2], rays[i, -1]
+        out[i] = near * (1 - z_steps) + far * z_steps
+    return out
+
+
+def test_sample_pdf_matches_naive_with_injected_u():
+    rng = np.random.RandomState(3)
+    b, m, n_imp = 16, 62, 24
+    weights = rng.rand(b, m).astype(np.float32)
+    u = rng.rand(b, n_imp).astype(np.float32)
+    jit_ = rng.rand(b, n_imp).astype(np.float32)
+    rays = np.zeros((b, 8), np.float32)
+    rays[:, 6], rays[:, 7] = 2.0, 6.0
+    got = np.asarray(
+        sample_pdf(jnp.asarray(rays), jnp.asarray(weights), n_imp,
+                   u=jnp.asarray(u), jitter=jnp.asarray(jit_))
+    )
+    want = naive_sample_pdf(rays, weights, n_imp, u, jit_)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert (got >= 2.0 - 1e-5).all() and (got <= 6.0 + 1e-5).all()
+
+
+def test_sample_pdf_det_mode():
+    rng = np.random.RandomState(4)
+    weights = rng.rand(4, 30).astype(np.float32)
+    rays = np.zeros((4, 8), np.float32)
+    rays[:, 6], rays[:, 7] = 1.0, 5.0
+    a = sample_pdf(jnp.asarray(rays), jnp.asarray(weights), 8, det=True)
+    b = sample_pdf(jnp.asarray(rays), jnp.asarray(weights), 8, det=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_pdf_bins_importance_concentration():
+    """Mass concentrated in one bin -> most samples land in that bin."""
+    b, m = 8, 32
+    weights = np.full((b, m), 1e-4, np.float32)
+    weights[:, 10] = 10.0
+    bins = np.broadcast_to(
+        np.linspace(0, 1, m + 1, dtype=np.float32), (b, m + 1)
+    ).copy()
+    z = np.asarray(
+        sample_pdf_bins(
+            jnp.asarray(bins), jnp.asarray(weights), 64,
+            key=jax.random.PRNGKey(0),
+        )
+    )
+    lo, hi = bins[0, 10], bins[0, 11]
+    frac = ((z >= lo) & (z <= hi)).mean()
+    assert frac > 0.9

@@ -1,0 +1,64 @@
+"""End-to-end training on a tiny synthetic Blender scene (8-dev CPU mesh)."""
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.config import Config
+from nerf_pl_tpu.training.trainer import NeRFSystem
+
+
+@pytest.fixture(scope="module")
+def fitted(blender_root, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("run")
+    cfg = Config(
+        root_dir=blender_root,
+        dataset_name="blender",
+        img_wh=(16, 16),
+        N_samples=8,
+        N_importance=8,
+        batch_size=8,
+        num_epochs=3,
+        chunk=256,
+        lr=5e-3,
+        exp_name="t",
+        log_dir=str(tmp / "logs"),
+        ckpt_dir=str(tmp / "ckpts"),
+        num_sanity_val_steps=0,
+    )
+    system = NeRFSystem(cfg)
+    system.fit()
+    return system, cfg, tmp
+
+
+def test_loss_decreases(fitted):
+    system, cfg, tmp = fitted
+    import json
+
+    recs = [
+        json.loads(l)
+        for l in open(f"{cfg.log_dir}/{cfg.exp_name}/metrics.jsonl")
+    ]
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert len(losses) == 3
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_written_and_resumable(fitted):
+    system, cfg, tmp = fitted
+    import glob
+    import os
+
+    ckpts = sorted(glob.glob(os.path.join(cfg.ckpt_dir, cfg.exp_name, "*.ckpt")))
+    assert ckpts
+    # resume from the last checkpoint
+    cfg2 = Config(**{**cfg.__dict__, "ckpt_path": ckpts[-1], "num_epochs": 3})
+    system2 = NeRFSystem(cfg2)
+    a = np.asarray(system.params["coarse"]["sigma"]["w"])
+    b = np.asarray(system2.params["coarse"]["sigma"]["w"])
+    np.testing.assert_array_equal(a, b)
+    assert system2.epoch0 == 3
+
+
+def test_validation_metrics_finite(fitted):
+    system, cfg, tmp = fitted
+    m = system.validation(epoch=99, max_images=1)
+    assert np.isfinite(m["val/loss"]) and np.isfinite(m["val/psnr"])
