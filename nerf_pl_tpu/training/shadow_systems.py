@@ -1,0 +1,986 @@
+"""Shadow-mapping training systems.
+
+Four trainers mirror the reference's shadow ``train_*.py`` files:
+
+  * ``EfficientSMSystem``   — flagship per-ray shadow trainer
+    (``train_efficient_sm.py``): sigma-only coarse+fine camera render, a
+    CACHED full light-view depth render refreshed every
+    ``sample_light_depth_every`` steps (``train_efficient_sm.py:150-172``),
+    ``efficient_sm`` compositing, MSE on the shadow maps (the reference
+    computes an opacity loss but optimizes sm only,
+    ``train_efficient_sm.py:188-204``).
+  * ``RGBSMSystem``         — joint RGB+shadow trainer
+    (``train_rgb_sm_juntos.py``): rgb_disp render + ``efficient_sm`` into
+    ``sm_*`` keys; ``loss = rgb_weight*mse(rgb) + sm_weight*mse(sm)``
+    (``train_rgb_sm_juntos.py:181-184``).
+  * ``ShadowMappingSystem`` — image-space variant
+    (``train_shadow_mapping.py``): whole-image camera+light depth renders,
+    per-image ``shadow_mapping`` compositing.
+  * ``LightSamplerSystem``  — sampled-light variant
+    (``train_light_sampler.py``): project each camera ray into light space
+    with ``get_K`` and render ONLY those light rays (``:150-184``).
+
+TPU-first redesign (vs the reference's Lightning loops):
+  * The light-depth cache is state in the scan carry — a pytree of
+    ``(H*W,)`` depth/opacity arrays — refreshed under ``lax.cond``; with
+    ``grad_on_light`` the light render moves inside the loss so gradients
+    flow (the reference's ``torch.no_grad`` toggle,
+    ``train_efficient_sm.py:158-168``).
+  * Batches are CONTIGUOUS slices in dataset order (the reference trains
+    these with ``shuffle=False`` so pose-splits stay long,
+    ``train_efficient_sm.py:122-127``); our compositor is vectorized over
+    poses so this is a parity choice, not a requirement.
+  * ``Light_N_importance=-1`` (randomize over {0,8,16,32} per light refresh,
+    ``train_efficient_sm.py:153-154``) is resolved per EPOCH on the host
+    (shapes are static under jit); each value compiles once and is cached.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..config import Config
+from ..data import dataset_dict
+from ..ops.rendering import render_rays
+from ..ops.shadow_mapping import (
+    efficient_sm,
+    gather_projected_depths,
+    generate_shadow_map,
+    get_normed_w,
+    get_projections,
+    normalize_min_max,
+    shadow_mapping_images,
+)
+from ..ops.ray_utils import get_rays
+from ..parallel.mesh import make_mesh, replicate, shard_map, shard_rays
+from ..tools.render import render_image
+from ..utils.visualization import visualize_depth
+from .logging import RunLogger
+from .losses import mse_loss, opacity_loss, sm_loss
+from .metrics import psnr as psnr_metric
+from .trainer import NeRFSystem, init_params, render_kwargs_from_cfg
+
+
+def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
+    return dict(
+        N_samples=cfg.N_samples,
+        use_disp=cfg.use_disp,
+        perturb=cfg.perturb,
+        noise_std=cfg.noise_std,
+        N_importance=n_importance,
+        mode="sigma",
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+
+def _light_cache_render(params, light_rays, key, rkw):
+    """Full light-view sigma render → the cache pytree (always carries a
+    ``depth_fine`` slot so the cond branches match; falls back to coarse)."""
+    r = render_rays(params.get("coarse"), params.get("fine"), light_rays, key, **rkw)
+    return {
+        "depth_coarse": r["depth_coarse"],
+        "depth_fine": r.get("depth_fine", r["depth_coarse"]),
+        "opacity_coarse": r["opacity_coarse"],
+        "opacity_fine": r.get("opacity_fine", r["opacity_coarse"]),
+    }
+
+
+class _ShadowSystemBase(NeRFSystem):
+    """Shared dataset/buffer plumbing for the per-ray shadow systems."""
+
+    dataset_kwargs_keys = ()
+
+    def _dataset_kwargs(self) -> dict:
+        cfg = self.cfg
+        kw = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh))
+        if cfg.dataset_name == "efficient_sm":
+            kw.update(white_pix=cfg.white_pix, blur=cfg.blur)
+        elif cfg.dataset_name == "rgb_sm":
+            kw.update(max_images=cfg.max_images, blur=cfg.blur, seed=cfg.seed)
+        elif cfg.dataset_name == "pyredner2":
+            kw.update(
+                coords_trans=cfg.coords_trans,
+                coords_trans2=cfg.coords_trans2,
+                blur=cfg.blur,
+            )
+        return kw
+
+    def _prepare_data(self):
+        cfg = self.cfg
+        ds_cls = dataset_dict[cfg.dataset_name]
+        kw = self._dataset_kwargs()
+        self.train_dataset = ds_cls(split="train", **kw)
+        self.val_dataset = ds_cls(split="val", **kw)
+        self.white_back = self.train_dataset.white_back
+        ds = self.train_dataset
+        self.rays_buf = shard_rays(ds.all_rays, self.mesh)
+        self.rgbs_buf = shard_rays(ds.all_rgbs, self.mesh)
+        self.pixels_buf = shard_rays(ds.all_pixels, self.mesh)
+        self.pose_idx_buf = shard_rays(
+            ds.pose_idx.astype(np.int32)[:, None], self.mesh
+        )
+        self.cam_ms = replicate(jnp.asarray(ds.cam_ms), self.mesh)
+        self.cam_eyes = replicate(jnp.asarray(ds.cam_eyes), self.mesh)
+        self.num_poses = int(ds.cam_ms.shape[0])
+        light = ds.light
+        self.light_rays = replicate(jnp.asarray(light.rays), self.mesh)
+        self.light_pixels = replicate(jnp.asarray(light.pixels), self.mesh)
+        self.light_m = replicate(jnp.asarray(light.camera), self.mesh)
+        self.light_eye = replicate(jnp.asarray(light.eye_pos), self.mesh)
+
+    def _tables(self):
+        return {
+            "light_rays": self.light_rays,
+            "light_pixels": self.light_pixels,
+            "light_m": self.light_m,
+            "light_eye": self.light_eye,
+            "cam_ms": self.cam_ms,
+            "cam_eyes": self.cam_eyes,
+        }
+
+
+class EfficientSMSystem(_ShadowSystemBase):
+    """Flagship shadow trainer (reference ``train_efficient_sm.py``)."""
+
+    def __init__(self, cfg: Config):
+        if cfg.grad_on_light:
+            cfg.sample_light_depth_every = 1
+        super().__init__(cfg)
+        self._epoch_fns: Dict[int, Any] = {}
+
+    # NeRFSystem.__init__ builds self.epoch_fn via make_epoch_fn; shadow
+    # systems build their own per-Light_N_importance programs instead.
+    def _build_epoch_fn(self):
+        return None
+
+    def _resolve_light_n(self, epoch: int) -> int:
+        cfg = self.cfg
+        if cfg.Light_N_importance == -1:
+            rng = np.random.RandomState(cfg.seed + epoch)
+            return int(rng.choice([0, 8, 16, 32]))
+        return cfg.Light_N_importance
+
+    def _epoch_fn_for(self, light_n: int):
+        if light_n in self._epoch_fns:
+            return self._epoch_fns[light_n]
+        cfg = self.cfg
+        mesh = self.mesh
+        optimizer = self.optimizer
+        B = cfg.batch_size
+        rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw_light = _sigma_render_kwargs(cfg, light_n)
+        fine = cfg.N_importance > 0
+        k_update = max(1, cfg.sample_light_depth_every)
+        grad_on_light = cfg.grad_on_light
+        image_shape = tuple(cfg.img_wh)
+        num_poses = self.num_poses
+        shadow_method = cfg.shadow_method
+
+        def compose_loss(params, batch, tables, light_depths, key):
+            rays, rgbs, pixels, pose_idx = batch
+            kc, kl = jax.random.split(key)
+            cam_res = render_rays(
+                params.get("coarse"), params.get("fine"), rays, kc, **rkw_cam
+            )
+            if grad_on_light:
+                light_depths = _light_cache_render(
+                    params, tables["light_rays"], kl, rkw_light
+                )
+            out = efficient_sm(
+                pixels,
+                tables["light_pixels"],
+                cam_res,
+                light_depths,
+                tables["cam_ms"][pose_idx],
+                tables["cam_eyes"][pose_idx],
+                tables["light_m"],
+                tables["light_eye"],
+                image_shape,
+                fine_sampling=fine,
+                light_has_fine=light_n > 0,
+                shadow_method=shadow_method,
+                pose_idx=pose_idx,
+                num_poses=num_poses,
+            )
+            loss = mse_loss(out, rgbs)
+            typ = "fine" if fine else "coarse"
+            psnr = psnr_metric(out[f"rgb_{typ}"], rgbs)
+            # logged-only light opacity loss; the reference indexes the
+            # (H*W,) light opacities with batch-derived indices
+            # (train_efficient_sm.py:191, losses.py:40-42) — i.e. its first
+            # B entries partitioned by the batch targets
+            b = rgbs.shape[0]
+            op_loss = opacity_loss(
+                {
+                    "opacity_coarse": light_depths["opacity_coarse"][:b],
+                    "opacity_fine": light_depths["opacity_fine"][:b],
+                },
+                rgbs,
+            )
+            return loss, (psnr, op_loss)
+
+        def device_epoch(
+            params, opt_state, light_depths, rays, rgbs, pixels, pose_idx,
+            tables, epoch_key, step0,
+        ):
+            n_loc = rays.shape[0]
+            steps = n_loc // B
+            dev = jax.lax.axis_index("rays")
+
+            def body(carry, i):
+                params, opt_state, light_depths = carry
+                gstep = step0 + i
+                key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
+                kup, kstep = jax.random.split(key)
+                light_depths = jax.lax.cond(
+                    gstep % k_update == 0,
+                    lambda p: jax.lax.stop_gradient(
+                        _light_cache_render(
+                            p, tables["light_rays"], kup, rkw_light
+                        )
+                    ),
+                    lambda p: light_depths,
+                    params,
+                )
+                # contiguous slice batching (reference shuffle=False parity)
+                sl = i * B
+                batch = (
+                    jax.lax.dynamic_slice_in_dim(rays, sl, B),
+                    jax.lax.dynamic_slice_in_dim(rgbs, sl, B),
+                    jax.lax.dynamic_slice_in_dim(pixels, sl, B),
+                    jax.lax.dynamic_slice_in_dim(pose_idx, sl, B)[:, 0],
+                )
+                (loss, (psnr, op_loss)), grads = jax.value_and_grad(
+                    compose_loss, has_aux=True
+                )(params, batch, tables, light_depths, kstep)
+                grads = jax.lax.pmean(grads, "rays")
+                loss = jax.lax.pmean(loss, "rays")
+                psnr = jax.lax.pmean(psnr, "rays")
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, light_depths), (loss, psnr, op_loss)
+
+            (params, opt_state, light_depths), (losses, psnrs, op_losses) = (
+                jax.lax.scan(
+                    body, (params, opt_state, light_depths), jnp.arange(steps)
+                )
+            )
+            return params, opt_state, light_depths, losses, psnrs, op_losses
+
+        fn = shard_map(
+            device_epoch,
+            mesh,
+            in_specs=(
+                P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
+                P(), P(), P(),
+            ),
+            out_specs=(P(), P(), P(), P(), P(), P()),
+        )
+        jitted = jax.jit(fn, donate_argnums=(0, 1, 2))
+        self._epoch_fns[light_n] = jitted
+        return jitted
+
+    def _tables(self):
+        return {
+            "light_rays": self.light_rays,
+            "light_pixels": self.light_pixels,
+            "light_m": self.light_m,
+            "light_eye": self.light_eye,
+            "cam_ms": self.cam_ms,
+            "cam_eyes": self.cam_eyes,
+        }
+
+    def _init_light_cache(self, light_n: int):
+        hw = self.light_rays.shape[0]
+        # four DISTINCT buffers — the cache is donated, and donating one
+        # buffer twice is an error
+        return replicate(
+            {
+                "depth_coarse": jnp.zeros((hw,), jnp.float32),
+                "depth_fine": jnp.zeros((hw,), jnp.float32),
+                "opacity_coarse": jnp.zeros((hw,), jnp.float32),
+                "opacity_fine": jnp.zeros((hw,), jnp.float32),
+            },
+            self.mesh,
+        )
+
+    def fit(self):
+        cfg = self.cfg
+        if cfg.num_sanity_val_steps > 0:
+            print(f"[sanity] {self.validation(0, max_images=cfg.num_sanity_val_steps)}")
+        global_step = self.epoch0 * self.steps_per_epoch
+        for epoch in range(self.epoch0, cfg.num_epochs):
+            light_n = self._resolve_light_n(epoch)
+            epoch_fn = self._epoch_fn_for(light_n)
+            light_cache = self._init_light_cache(light_n)
+            self.rng, ek = jax.random.split(self.rng)
+            t0 = time.time()
+            (
+                self.params, self.opt_state, _, losses, psnrs, op_losses
+            ) = epoch_fn(
+                self.params, self.opt_state, light_cache, self.rays_buf,
+                self.rgbs_buf, self.pixels_buf, self.pose_idx_buf,
+                self._tables(), ek, jnp.int32(global_step),
+            )
+            losses, psnrs = np.asarray(losses), np.asarray(psnrs)
+            dt = time.time() - t0
+            global_step += self.steps_per_epoch
+            self.logger.scalars(
+                global_step,
+                {
+                    "lr": float(self.schedule(global_step)),
+                    "train/loss": float(losses.mean()),
+                    "train/psnr": float(psnrs.mean()),
+                    "train/train_opactiy": float(np.asarray(op_losses).mean()),
+                },
+            )
+            msg = (
+                f"epoch {epoch}: sm_loss {losses.mean():.5f} "
+                f"psnr {psnrs.mean():.2f} (Light_N={light_n}, {dt:.1f}s)"
+            )
+            if (epoch + 1) % cfg.val_every_n_epochs == 0 or epoch == cfg.num_epochs - 1:
+                vm = self.validation(epoch)
+                self.logger.scalars(global_step, vm)
+                msg += f" | val loss {vm['val/loss']:.5f} psnr {vm['val/psnr']:.2f}"
+                self.save_ckpt(epoch, vm["val/loss"])
+            print(msg, flush=True)
+        self.logger.close()
+        return self.params
+
+    # -- validation: full-image camera + light render then compositing ------
+    def validation(self, epoch: int, max_images: Optional[int] = None):
+        cfg = self.cfg
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
+        n_img = len(self.val_dataset)
+        if max_images is not None:
+            n_img = min(n_img, max_images)
+        losses, psnrs = [], []
+        for i in range(n_img):
+            sample = self.val_dataset[i]
+            self.rng, k1, k2 = jax.random.split(self.rng, 3)
+            cam_res = render_image(
+                self.params, jnp.asarray(sample["rays"]), k1, chunk=cfg.chunk,
+                mesh=self.mesh, **rkw,
+            )
+            light_res = render_image(
+                self.params, jnp.asarray(sample["light_rays"]), k2,
+                chunk=cfg.chunk, mesh=self.mesh, **rkw,
+            )
+            light_depths = {
+                "depth_coarse": light_res["depth_coarse"],
+                "depth_fine": light_res.get(
+                    "depth_fine", light_res["depth_coarse"]
+                ),
+            }
+            out = efficient_sm(
+                jnp.asarray(sample["pixels"]),
+                jnp.asarray(self.val_dataset.light.pixels),
+                cam_res,
+                light_depths,
+                jnp.asarray(sample["ppc"]["camera"]),
+                jnp.asarray(sample["ppc"]["eye_pos"]),
+                jnp.asarray(sample["light_ppc"]["camera"]),
+                jnp.asarray(sample["light_ppc"]["eye_pos"]),
+                tuple(cfg.img_wh),
+                fine_sampling=cfg.N_importance > 0,
+                light_has_fine=cfg.N_importance > 0,
+                shadow_method=cfg.shadow_method,
+            )
+            rgbs = jnp.asarray(sample["rgbs"])
+            jax.block_until_ready((cam_res, light_res, out))  # see trainer.py
+            typ = "fine" if "rgb_fine" in out else "coarse"
+            losses.append(float(mse_loss(out, rgbs)))
+            psnrs.append(float(psnr_metric(out[f"rgb_{typ}"], rgbs)))
+            if i == 0:
+                self._dump_val_images(epoch, out, rgbs, typ)
+        return {"val/loss": float(np.mean(losses)), "val/psnr": float(np.mean(psnrs))}
+
+    def _dump_val_images(self, epoch, out, rgbs, typ):
+        """Per-epoch gt/rgb/depth/disp PNG dumps
+        (reference ``train_efficient_sm.py:241-263``)."""
+        import imageio.v2 as imageio
+
+        W, H = self.cfg.img_wh
+        d = os.path.join(self.logger.dir, "imgs")
+        os.makedirs(d, exist_ok=True)
+        to8b = lambda x: (
+            255 * np.clip(np.nan_to_num(np.asarray(x)), 0, 1)
+        ).astype(np.uint8)  # disp can be NaN on empty rays (reference
+        # documents the same fragility, rendering_shadows.py:356-357)
+        imageio.imwrite(
+            os.path.join(d, f"gt_{epoch:03d}.png"),
+            to8b(np.asarray(rgbs).reshape(H, W, 3)),
+        )
+        imageio.imwrite(
+            os.path.join(d, f"rgb_{epoch:03d}.png"),
+            to8b(np.asarray(out[f"rgb_{typ}"]).reshape(H, W, 3)),
+        )
+        depth = visualize_depth(np.asarray(out[f"depth_{typ}"]).reshape(H, W))
+        imageio.imwrite(
+            os.path.join(d, f"depth_{epoch:03d}.png"),
+            to8b(depth.transpose(1, 2, 0)),
+        )
+        if f"disp_map_{typ}" in out:
+            disp = normalize_min_max(out[f"disp_map_{typ}"]).reshape(H, W)
+            imageio.imwrite(os.path.join(d, f"disp_{epoch:03d}.png"), to8b(disp))
+        stack = np.stack(
+            [
+                np.asarray(rgbs).reshape(H, W, 3).transpose(2, 0, 1),
+                np.asarray(out[f"rgb_{typ}"]).reshape(H, W, 3).transpose(2, 0, 1),
+                depth,
+            ]
+        )
+        self.logger.images(epoch * self.steps_per_epoch, "val/GT_pred_depth", stack)
+
+
+class RGBSMSystem(EfficientSMSystem):
+    """Joint RGB + shadow trainer (reference ``train_rgb_sm_juntos.py``):
+    the camera render keeps its real RGB (mode ``rgb_disp``), the shadow
+    compositor writes ``sm_*`` keys, and the loss is
+    ``rgb_weight * mse(rgb) + sm_weight * mse(sm)``
+    (``train_rgb_sm_juntos.py:181-184``)."""
+
+    def _prepare_data(self):
+        super()._prepare_data()
+        self.sm_buf = shard_rays(self.train_dataset.all_sm, self.mesh)
+
+    def _epoch_fn_for(self, light_n: int):
+        if light_n in self._epoch_fns:
+            return self._epoch_fns[light_n]
+        cfg = self.cfg
+        mesh = self.mesh
+        optimizer = self.optimizer
+        B = cfg.batch_size
+        rkw_cam = dict(
+            N_samples=cfg.N_samples, use_disp=cfg.use_disp,
+            perturb=cfg.perturb, noise_std=cfg.noise_std,
+            N_importance=cfg.N_importance, mode="rgb_disp",
+            white_back=self.white_back,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+        )
+        rkw_light = _sigma_render_kwargs(cfg, light_n)
+        fine = cfg.N_importance > 0
+        k_update = max(1, cfg.sample_light_depth_every)
+        grad_on_light = cfg.grad_on_light
+        image_shape = tuple(cfg.img_wh)
+        num_poses = self.num_poses
+        shadow_method = cfg.shadow_method
+        rgb_w, sm_w = cfg.rgb_weight, cfg.sm_weight
+
+        def compose_loss(params, batch, tables, light_depths, key):
+            rays, rgbs, sms, pixels, pose_idx = batch
+            kc, kl = jax.random.split(key)
+            cam_res = render_rays(
+                params.get("coarse"), params.get("fine"), rays, kc, **rkw_cam
+            )
+            if grad_on_light:
+                light_depths = _light_cache_render(
+                    params, tables["light_rays"], kl, rkw_light
+                )
+            out = efficient_sm(
+                pixels, tables["light_pixels"], cam_res, light_depths,
+                tables["cam_ms"][pose_idx], tables["cam_eyes"][pose_idx],
+                tables["light_m"], tables["light_eye"], image_shape,
+                fine_sampling=fine, light_has_fine=light_n > 0,
+                shadow_method=shadow_method, pose_idx=pose_idx,
+                num_poses=num_poses, out_prefix="sm",
+            )
+            rgb_l = mse_loss(out, rgbs)
+            sm_l = sm_loss(out, sms)
+            loss = rgb_w * rgb_l + sm_w * sm_l
+            typ = "fine" if fine else "coarse"
+            psnr = psnr_metric(out[f"rgb_{typ}"], rgbs)
+            sm_psnr = psnr_metric(out[f"sm_{typ}"], sms)
+            return loss, (psnr, sm_psnr)
+
+        def device_epoch(
+            params, opt_state, light_depths, rays, rgbs, sms, pixels,
+            pose_idx, tables, epoch_key, step0,
+        ):
+            steps = rays.shape[0] // B
+            dev = jax.lax.axis_index("rays")
+
+            def body(carry, i):
+                params, opt_state, light_depths = carry
+                gstep = step0 + i
+                key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
+                kup, kstep = jax.random.split(key)
+                light_depths = jax.lax.cond(
+                    gstep % k_update == 0,
+                    lambda p: jax.lax.stop_gradient(
+                        _light_cache_render(
+                            p, tables["light_rays"], kup, rkw_light
+                        )
+                    ),
+                    lambda p: light_depths,
+                    params,
+                )
+                sl = i * B
+                batch = (
+                    jax.lax.dynamic_slice_in_dim(rays, sl, B),
+                    jax.lax.dynamic_slice_in_dim(rgbs, sl, B),
+                    jax.lax.dynamic_slice_in_dim(sms, sl, B),
+                    jax.lax.dynamic_slice_in_dim(pixels, sl, B),
+                    jax.lax.dynamic_slice_in_dim(pose_idx, sl, B)[:, 0],
+                )
+                (loss, (psnr, sm_psnr)), grads = jax.value_and_grad(
+                    compose_loss, has_aux=True
+                )(params, batch, tables, light_depths, kstep)
+                grads = jax.lax.pmean(grads, "rays")
+                loss = jax.lax.pmean(loss, "rays")
+                psnr = jax.lax.pmean(psnr, "rays")
+                sm_psnr = jax.lax.pmean(sm_psnr, "rays")
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, light_depths), (loss, psnr, sm_psnr)
+
+            (params, opt_state, light_depths), outs = jax.lax.scan(
+                body, (params, opt_state, light_depths), jnp.arange(steps)
+            )
+            return (params, opt_state, light_depths) + outs
+
+        fn = shard_map(
+            device_epoch,
+            mesh,
+            in_specs=(
+                P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
+                P("rays"), P(), P(), P(),
+            ),
+            out_specs=(P(), P(), P(), P(), P(), P()),
+        )
+        jitted = jax.jit(fn, donate_argnums=(0, 1, 2))
+        self._epoch_fns[light_n] = jitted
+        return jitted
+
+    def fit(self):
+        cfg = self.cfg
+        if cfg.num_sanity_val_steps > 0:
+            print(f"[sanity] {self.validation(0, max_images=cfg.num_sanity_val_steps)}")
+        global_step = self.epoch0 * self.steps_per_epoch
+        for epoch in range(self.epoch0, cfg.num_epochs):
+            light_n = self._resolve_light_n(epoch)
+            epoch_fn = self._epoch_fn_for(light_n)
+            light_cache = self._init_light_cache(light_n)
+            self.rng, ek = jax.random.split(self.rng)
+            t0 = time.time()
+            (
+                self.params, self.opt_state, _, losses, psnrs, sm_psnrs
+            ) = epoch_fn(
+                self.params, self.opt_state, light_cache, self.rays_buf,
+                self.rgbs_buf, self.sm_buf, self.pixels_buf,
+                self.pose_idx_buf, self._tables(), ek, jnp.int32(global_step),
+            )
+            losses = np.asarray(losses)
+            dt = time.time() - t0
+            global_step += self.steps_per_epoch
+            self.logger.scalars(
+                global_step,
+                {
+                    "lr": float(self.schedule(global_step)),
+                    "train/loss": float(losses.mean()),
+                    "train/psnr": float(np.asarray(psnrs).mean()),
+                    "train/sm_psnr": float(np.asarray(sm_psnrs).mean()),
+                },
+            )
+            msg = (
+                f"epoch {epoch}: loss {losses.mean():.5f} psnr "
+                f"{np.asarray(psnrs).mean():.2f} sm_psnr "
+                f"{np.asarray(sm_psnrs).mean():.2f} ({dt:.1f}s)"
+            )
+            if (epoch + 1) % cfg.val_every_n_epochs == 0 or epoch == cfg.num_epochs - 1:
+                vm = self.validation(epoch)
+                self.logger.scalars(global_step, vm)
+                msg += f" | val loss {vm['val/loss']:.5f} psnr {vm['val/psnr']:.2f}"
+                self.save_ckpt(epoch, vm["val/loss"])
+            print(msg, flush=True)
+        self.logger.close()
+        return self.params
+
+    def validation(self, epoch: int, max_images=None):
+        cfg = self.cfg
+        rkw = dict(
+            N_samples=cfg.N_samples, use_disp=cfg.use_disp,
+            perturb=cfg.perturb, noise_std=cfg.noise_std,
+            N_importance=cfg.N_importance, mode="rgb_disp",
+            white_back=self.white_back,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+        )
+        rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance)
+        n_img = len(self.val_dataset)
+        if max_images is not None:
+            n_img = min(n_img, max_images)
+        losses, psnrs, sm_psnrs = [], [], []
+        for i in range(n_img):
+            s = self.val_dataset[i]
+            self.rng, k1, k2 = jax.random.split(self.rng, 3)
+            cam_res = render_image(
+                self.params, jnp.asarray(s["rays"]), k1, chunk=cfg.chunk,
+                mesh=self.mesh, **rkw,
+            )
+            light_res = render_image(
+                self.params, jnp.asarray(s["light_rays"]), k2,
+                chunk=cfg.chunk, mesh=self.mesh, **rkw_light,
+            )
+            light_depths = {
+                "depth_coarse": light_res["depth_coarse"],
+                "depth_fine": light_res.get("depth_fine", light_res["depth_coarse"]),
+            }
+            out = efficient_sm(
+                jnp.asarray(s["pixels"]), jnp.asarray(s["light_pixels"]),
+                cam_res, light_depths,
+                jnp.asarray(s["ppc"]["camera"]), jnp.asarray(s["ppc"]["eye_pos"]),
+                jnp.asarray(s["light_ppc"]["camera"]),
+                jnp.asarray(s["light_ppc"]["eye_pos"]),
+                tuple(cfg.img_wh), fine_sampling=cfg.N_importance > 0,
+                light_has_fine=cfg.N_importance > 0,
+                shadow_method=cfg.shadow_method, out_prefix="sm",
+            )
+            rgbs = jnp.asarray(s["rgbs"])
+            sms = jnp.asarray(s["sm"])
+            jax.block_until_ready((cam_res, light_res, out))  # see trainer.py
+            typ = "fine" if "rgb_fine" in out else "coarse"
+            losses.append(
+                float(cfg.rgb_weight * mse_loss(out, rgbs) + cfg.sm_weight * sm_loss(out, sms))
+            )
+            psnrs.append(float(psnr_metric(out[f"rgb_{typ}"], rgbs)))
+            sm_psnrs.append(float(psnr_metric(out[f"sm_{typ}"], sms)))
+            if i == 0:
+                self._dump_val_images(epoch, out, rgbs, typ)
+        return {
+            "val/loss": float(np.mean(losses)),
+            "val/psnr": float(np.mean(psnrs)),
+            "val_sm_psnr": float(np.mean(sm_psnrs)),
+        }
+
+
+class LightSamplerSystem(_ShadowSystemBase):
+    """Sampled-light shadow trainer (reference ``train_light_sampler.py``):
+    instead of caching a full H×W light depth map, each step projects the
+    camera batch into light space with ``get_K`` and renders ONLY those B
+    light rays (``train_light_sampler.py:150-184``).
+
+    Faithful quirk: the loss reads ``rgb_coarse`` only — the reference
+    stores the fine map under a key (``'fine'``) the MSE loss never looks at
+    (``train_light_sampler.py:198-201``), so fine supervision is a no-op;
+    we write only ``rgb_coarse``.
+    """
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        self._epoch_fn_cached = None
+
+    def _build_epoch_fn(self):
+        return None
+
+    def _light_geom(self):
+        light = self.train_dataset.light
+        return (
+            jnp.asarray(light.l2w),
+            jnp.float32(light.focal),
+            jnp.float32(light.near),
+            jnp.float32(light.far),
+        )
+
+    def _epoch_fn(self):
+        if self._epoch_fn_cached is not None:
+            return self._epoch_fn_cached
+        cfg = self.cfg
+        optimizer = self.optimizer
+        B = cfg.batch_size
+        w, h = cfg.img_wh
+        rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw_light = _sigma_render_kwargs(cfg, max(cfg.Light_N_importance, 0))
+        light_n = max(cfg.Light_N_importance, 0)
+        fine = cfg.N_importance > 0
+        shadow_method = cfg.shadow_method
+        l2w, light_focal, light_near, light_far = self._light_geom()
+
+        def light_rays_for(ul, vl):
+            dirs = jnp.stack(
+                [(ul - w / 2) / light_focal, -(vl - h / 2) / light_focal,
+                 -jnp.ones_like(ul)], axis=-1,
+            )
+            rays_d = dirs @ l2w[:, :3].T
+            rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            rays_o = jnp.broadcast_to(l2w[:, 3], rays_d.shape)
+            nf = jnp.ones_like(rays_o[:, :1])
+            return jnp.concatenate(
+                [rays_o, rays_d, light_near * nf, light_far * nf], axis=-1
+            )
+
+        def compose_loss(params, batch, tables, key):
+            rays, rgbs, pixels, pose_idx = batch
+            kc, kl = jax.random.split(key)
+            cam_res = render_rays(
+                params.get("coarse"), params.get("fine"), rays, kc, **rkw_cam
+            )
+            depth = cam_res["depth_fine"] if fine else cam_res["depth_coarse"]
+            pd_cam = jnp.concatenate([pixels, depth[:, None]], axis=1)
+            K = get_projections(
+                tables["cam_ms"][pose_idx], tables["cam_eyes"][pose_idx],
+                tables["light_m"], tables["light_eye"], pd_cam,
+            )
+            ul = jnp.clip(K[:, 0], 0.0, w - 1.0)
+            vl = jnp.clip(K[:, 1], 0.0, h - 1.0)
+            ul_i = jnp.floor(ul).astype(jnp.float32)
+            vl_i = jnp.floor(vl).astype(jnp.float32)
+            lrays = light_rays_for(ul_i, vl_i)
+            light_res = render_rays(
+                params.get("coarse"), params.get("fine"),
+                jax.lax.stop_gradient(lrays), kl, **rkw_light,
+            )
+            range_light = (
+                light_res["depth_fine"] if light_n > 0
+                else light_res["depth_coarse"]
+            )
+            range_light = jax.lax.stop_gradient(range_light)
+            lpix = jnp.stack(
+                [ul_i + 0.5, vl_i + 0.5, jnp.ones_like(ul_i)], axis=1
+            )
+            pd_light = jnp.concatenate([lpix, range_light[:, None]], axis=1)
+            w_light = get_normed_w(tables["light_m"], pd_light)
+            sm = generate_shadow_map(K[:, 2], w_light[:, 3], mode=shadow_method)
+            loss = jnp.mean((sm - rgbs) ** 2)
+            psnr = psnr_metric(sm, rgbs)
+            return loss, psnr
+
+        def device_epoch(
+            params, opt_state, rays, rgbs, pixels, pose_idx, tables,
+            epoch_key, step0,
+        ):
+            steps = rays.shape[0] // B
+            dev = jax.lax.axis_index("rays")
+
+            def body(carry, i):
+                params, opt_state = carry
+                key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
+                sl = i * B
+                batch = (
+                    jax.lax.dynamic_slice_in_dim(rays, sl, B),
+                    jax.lax.dynamic_slice_in_dim(rgbs, sl, B),
+                    jax.lax.dynamic_slice_in_dim(pixels, sl, B),
+                    jax.lax.dynamic_slice_in_dim(pose_idx, sl, B)[:, 0],
+                )
+                (loss, psnr), grads = jax.value_and_grad(
+                    compose_loss, has_aux=True
+                )(params, batch, tables, key)
+                grads = jax.lax.pmean(grads, "rays")
+                loss = jax.lax.pmean(loss, "rays")
+                psnr = jax.lax.pmean(psnr, "rays")
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, psnr)
+
+            (params, opt_state), (losses, psnrs) = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(steps)
+            )
+            return params, opt_state, losses, psnrs
+
+        fn = shard_map(
+            device_epoch,
+            self.mesh,
+            in_specs=(
+                P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
+                P(), P(), P(),
+            ),
+            out_specs=(P(), P(), P(), P()),
+        )
+        self._epoch_fn_cached = jax.jit(fn, donate_argnums=(0, 1))
+        return self._epoch_fn_cached
+
+    def fit(self):
+        cfg = self.cfg
+        global_step = self.epoch0 * self.steps_per_epoch
+        epoch_fn = self._epoch_fn()
+        for epoch in range(self.epoch0, cfg.num_epochs):
+            self.rng, ek = jax.random.split(self.rng)
+            t0 = time.time()
+            self.params, self.opt_state, losses, psnrs = epoch_fn(
+                self.params, self.opt_state, self.rays_buf, self.rgbs_buf,
+                self.pixels_buf, self.pose_idx_buf, self._tables(), ek,
+                jnp.int32(global_step),
+            )
+            losses = np.asarray(losses)
+            dt = time.time() - t0
+            global_step += self.steps_per_epoch
+            self.logger.scalars(
+                global_step,
+                {
+                    "lr": float(self.schedule(global_step)),
+                    "train/loss": float(losses.mean()),
+                    "train/psnr": float(np.asarray(psnrs).mean()),
+                },
+            )
+            print(
+                f"epoch {epoch}: loss {losses.mean():.5f} "
+                f"psnr {np.asarray(psnrs).mean():.2f} ({dt:.1f}s)",
+                flush=True,
+            )
+            if (epoch + 1) % cfg.val_every_n_epochs == 0 or epoch == cfg.num_epochs - 1:
+                self.save_ckpt(epoch, float(losses.mean()))
+        self.logger.close()
+        return self.params
+
+
+class ShadowMappingSystem:
+    """Image-space shadow-mapping trainer (reference
+    ``train_shadow_mapping.py``): each step renders whole-image camera AND
+    light depth maps and composites with per-image ``shadow_mapping``.
+    Runs single-program (no ray sharding — batches are whole images,
+    reference batch_size is an image count, typically 1)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.mesh = make_mesh(1)
+        self.logger = RunLogger(cfg.log_dir, cfg.exp_name)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        ds_cls = dataset_dict[cfg.dataset_name]
+        kw = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh))
+        self.train_dataset = ds_cls(split="train", **kw)
+        self.val_dataset = ds_cls(split="val", **kw)
+        items = [self.train_dataset[i] for i in range(len(self.train_dataset))]
+        self.rays = jnp.asarray(np.stack([it["rays"] for it in items]))
+        self.rgbs = jnp.asarray(np.stack([it["rgbs"] for it in items]))
+        self.cam_ms = jnp.asarray(
+            np.stack([it["ppc"]["camera"] for it in items])
+        )
+        self.cam_eyes = jnp.asarray(
+            np.stack([it["ppc"]["eye_pos"] for it in items])
+        )
+        light = self.train_dataset.light
+        self.light_rays = jnp.asarray(light.rays)
+        self.light_m = jnp.asarray(light.camera)
+        self.light_eye = jnp.asarray(light.eye_pos)
+
+        from .optim import get_optimizer, make_lr_schedule
+
+        self.steps_per_epoch = max(1, len(items) // max(1, cfg.batch_size))
+        self.schedule = make_lr_schedule(
+            cfg.lr, cfg.lr_scheduler, self.steps_per_epoch, cfg.num_epochs,
+            cfg.decay_step, cfg.decay_gamma, cfg.poly_exp,
+            cfg.warmup_multiplier, cfg.warmup_epochs, cfg.optimizer,
+        )
+        self.optimizer = get_optimizer(
+            cfg.optimizer, self.schedule, cfg.momentum, cfg.weight_decay
+        )
+        self.rng, kp = jax.random.split(self.rng)
+        self.params = init_params(cfg, kp)
+        self.opt_state = self.optimizer.init(self.params)
+        self.ckpt_root = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        cfg = self.cfg
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
+        fine = cfg.N_importance > 0
+        image_shape = tuple(cfg.img_wh)
+        Bi = max(1, cfg.batch_size)
+        optimizer = self.optimizer
+
+        def loss_fn(params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, key):
+            kc, kl = jax.random.split(key)
+            flat = rays_b.reshape(-1, 8)
+            cam_res = render_rays(
+                params.get("coarse"), params.get("fine"), flat, kc, **rkw
+            )
+            light_res = render_rays(
+                params.get("coarse"), params.get("fine"), self.light_rays,
+                kl, **rkw,
+            )
+            light_tiled = {
+                k: jnp.tile(v, (Bi,)) for k, v in light_res.items()
+                if k.startswith("depth")
+            }
+            out = shadow_mapping_images(
+                cam_res, light_tiled, cam_ms_b, cam_eyes_b, self.light_m,
+                self.light_eye, image_shape, Bi, fine_sampling=fine,
+                shadow_method=cfg.shadow_method,
+            )
+            targets = rgbs_b.reshape(-1, 3)
+            loss = mse_loss(out, targets)
+            typ = "fine" if fine else "coarse"
+            return loss, psnr_metric(out[f"rgb_{typ}"], targets)
+
+        @jax.jit
+        def step(params, opt_state, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, key):
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, key
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, psnr
+
+        return step
+
+    def fit(self):
+        cfg = self.cfg
+        Bi = max(1, cfg.batch_size)
+        n = self.rays.shape[0]
+        global_step = 0
+        from .checkpoints import save_checkpoint
+
+        for epoch in range(cfg.num_epochs):
+            losses, psnrs = [], []
+            t0 = time.time()
+            for s in range(self.steps_per_epoch):
+                idx = np.asarray([(s * Bi + k) % n for k in range(Bi)])
+                self.rng, key = jax.random.split(self.rng)
+                self.params, self.opt_state, loss, psnr = self._step(
+                    self.params, self.opt_state, self.rays[idx],
+                    self.rgbs[idx], self.cam_ms[idx], self.cam_eyes[idx], key,
+                )
+                losses.append(float(loss))
+                psnrs.append(float(psnr))
+            global_step += self.steps_per_epoch
+            self.logger.scalars(
+                global_step,
+                {"train/loss": float(np.mean(losses)),
+                 "train/psnr": float(np.mean(psnrs))},
+            )
+            print(
+                f"epoch {epoch}: loss {np.mean(losses):.5f} "
+                f"psnr {np.mean(psnrs):.2f} ({time.time()-t0:.1f}s)",
+                flush=True,
+            )
+            os.makedirs(self.ckpt_root, exist_ok=True)
+            save_checkpoint(
+                os.path.join(self.ckpt_root, f"epoch={epoch}.ckpt"),
+                {"params": jax.device_get(self.params),
+                 "opt_state": jax.device_get(self.opt_state),
+                 "epoch": epoch},
+            )
+        self.logger.close()
+        return self.params
+
+
+class ShadowsSystem(NeRFSystem):
+    """RGB NeRF training on shadow datasets (reference ``train_shadows.py``
+    — the vanilla loop pointed at the shadow loaders; effectively trains the
+    radiance field to reproduce the sm images)."""
+
+    def _prepare_data(self):
+        cfg = self.cfg
+        ds_cls = dataset_dict[cfg.dataset_name]
+        kw = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh))
+        self.train_dataset = ds_cls(split="train", **kw)
+        self.val_dataset = ds_cls(split="val", **kw)
+        self.white_back = self.train_dataset.white_back
+        if hasattr(self.train_dataset, "all_rays"):
+            rays = self.train_dataset.all_rays
+            rgbs = self.train_dataset.all_rgbs
+        else:  # per-image datasets: flatten every image into the ray buffer
+            items = [
+                self.train_dataset[i] for i in range(len(self.train_dataset))
+            ]
+            rays = np.concatenate([it["rays"] for it in items], 0)
+            rgbs = np.concatenate([it["rgbs"] for it in items], 0)
+        self.rays_buf = shard_rays(rays, self.mesh)
+        self.rgbs_buf = shard_rays(rgbs, self.mesh)

@@ -139,16 +139,19 @@ class NeRFSystem:
         self.rng = jax.random.PRNGKey(cfg.seed)
         self._prepare_data()
         self._build_state()
-        self.epoch_fn = make_epoch_fn(
-            cfg,
+        self.epoch_fn = self._build_epoch_fn()
+        self.ckpt_root = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+        self._topk: list = []  # (val_loss, path)
+
+    def _build_epoch_fn(self):
+        return make_epoch_fn(
+            self.cfg,
             self.mesh,
             self.optimizer,
             self.white_back,
             mode=self.mode,
             loss_name=self.loss_name,
         )
-        self.ckpt_root = os.path.join(cfg.ckpt_dir, cfg.exp_name)
-        self._topk: list = []  # (val_loss, path)
 
     # -- data ---------------------------------------------------------------
     def _prepare_data(self):
@@ -238,6 +241,10 @@ class NeRFSystem:
             results = render_image(
                 self.params, rays, k, chunk=cfg.chunk, mesh=self.mesh, **rkw
             )
+            # hard sync: leaving a sharded render in flight on some device
+            # threads while the next multi-device program launches can
+            # deadlock collective rendezvous (CPU backend)
+            jax.block_until_ready(results)
             loss = loss_fn_inner(results, rgbs)
             typ = "fine" if "rgb_fine" in results else "coarse"
             psnrs.append(float(psnr_metric(results[f"rgb_{typ}"], rgbs)))

@@ -71,3 +71,51 @@ def blender_root(tmp_path_factory):
         with open(root / f"transforms_{split}.json", "w") as f:
             json.dump(meta, f)
     return str(root)
+
+
+@pytest.fixture(scope="session")
+def shadow_root(tmp_path_factory):
+    """A tiny synthetic shadow scene: RGB frames + sm_*.png shadow-map
+    targets + a light camera in the meta (efficient_sm/rgb_sm format)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("shadow_scene")
+    rng = np.random.RandomState(1)
+    wh = 8
+
+    def pose(theta, height=0.5, r=4.0):
+        c, s = np.cos(theta), np.sin(theta)
+        eye = np.array([r * s, height, r * c], np.float32)
+        fwd = eye / np.linalg.norm(eye)
+        right = np.cross([0, 1, 0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, up, fwd, eye
+        return m
+
+    light_pose = pose(1.0, height=3.0, r=5.0)
+    for split, n in [("train", 3), ("val", 2), ("test", 1)]:
+        frames = []
+        for i in range(n):
+            theta = 2 * np.pi * (i + (0.25 if split != "train" else 0)) / max(n, 1)
+            m = pose(theta)
+            rgba = (rng.rand(wh, wh, 4) * 255).astype(np.uint8)
+            rgba[..., 3] = 255
+            name = f"r_{split}_{i}"
+            Image.fromarray(rgba, "RGBA").save(root / f"{name}.png")
+            smv = (rng.rand(wh, wh, 3) * 255).astype(np.uint8)
+            Image.fromarray(smv, "RGB").save(root / f"sm_{name}.png")
+            frames.append(
+                {"file_path": f"./{name}", "transform_matrix": m.tolist()}
+            )
+        meta = {
+            "camera_angle_x": 0.6911,
+            "light_camera_angle_x": 0.6911,
+            "light_camera_transform_matrix": light_pose.tolist(),
+            "resolution": 800,
+            "frames": frames,
+        }
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    return str(root)

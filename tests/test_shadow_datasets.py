@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.data import dataset_dict
+
+
+def test_efficient_sm_train_buffers(shadow_root):
+    ds = dataset_dict["efficient_sm"](shadow_root, "train", img_wh=(8, 8))
+    n = 3 * 64
+    assert ds.all_rays.shape == (n, 8)
+    assert ds.all_pixels.shape == (n, 3)
+    assert ds.all_rgbs.shape == (n, 3)
+    assert ds.pose_idx.shape == (n,)
+    assert ds.cam_ms.shape == (3, 3, 3) and ds.cam_eyes.shape == (3, 3)
+    # pixel convention: [x+0.5, y+0.5, 1] row-major
+    np.testing.assert_allclose(ds.all_pixels[0], [0.5, 0.5, 1.0])
+    np.testing.assert_allclose(ds.all_pixels[1], [1.5, 0.5, 1.0])
+    np.testing.assert_allclose(ds.all_pixels[8], [0.5, 1.5, 1.0])
+    # near/far defaults 1/200 (blender_efficient_sm.py:72-77)
+    np.testing.assert_allclose(ds.all_rays[0, 6:], [1.0, 200.0])
+    assert ds.light.rays.shape == (64, 8)
+    assert ds.white_back is True
+
+
+def test_efficient_sm_white_pix_filter(shadow_root):
+    full = dataset_dict["efficient_sm"](shadow_root, "train", img_wh=(8, 8))
+    filt = dataset_dict["efficient_sm"](
+        shadow_root, "train", img_wh=(8, 8), white_pix=0.5
+    )
+    assert len(filt.all_rays) < len(full.all_rays)
+    assert (filt.all_rgbs.sum(1) / 3.0 > 0.5).all()
+
+
+def test_efficient_sm_val_items(shadow_root):
+    ds = dataset_dict["efficient_sm"](shadow_root, "val", img_wh=(8, 8))
+    s = ds[0]
+    assert s["rays"].shape == (64, 8)
+    assert s["light_rays"].shape == (64, 8)
+    assert s["ppc"]["camera"].shape == (3, 3)
+    assert s["light_ppc"]["eye_pos"].shape == (3,)
+
+
+def test_rgb_sm_dataset(shadow_root):
+    ds = dataset_dict["rgb_sm"](shadow_root, "train", img_wh=(8, 8))
+    assert ds.all_rgbs.shape == ds.all_sm.shape
+    assert ds.white_back is True
+    s = ds[5]
+    assert set(s) >= {"rays", "pixels", "rgbs", "sm", "ppc"}
+
+
+def test_shadows_dataset_per_image(shadow_root):
+    ds = dataset_dict["shadows"](shadow_root, "train", img_wh=(8, 8))
+    s = ds[0]
+    assert s["rays"].shape == (64, 8)
+    assert s["rgbs"].shape == (64, 3)
+    # light near/far 100/500 (blender_shadows.py:49-50)
+    np.testing.assert_allclose(s["light_rays"][0, 6:], [100.0, 500.0])
+    assert ds.white_back is False
+
+
+def test_pyredner2_dataset(tmp_path):
+    import json
+
+    from nerf_pl_tpu.models.camera import intrinsic_matrix
+    from PIL import Image
+
+    root = tmp_path / "pyr"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    M = intrinsic_matrix(45.0, (8, 8)).tolist()
+    frames = []
+    for i in range(2):
+        name = f"sm_{i}.png"
+        Image.fromarray(
+            (rng.rand(8, 8, 3) * 255).astype(np.uint8), "RGB"
+        ).save(root / name)
+        frames.append(
+            {
+                "transform_matrix": {
+                    "eye_pos": [4.0, float(i), 4.0],
+                    "camera": M,
+                },
+                "sm_file_path": name,
+            }
+        )
+    meta = {
+        "camera_angle_x": 0.6911,
+        "light_camera_angle_x": 0.6911,
+        "light_camera_transform_matrix": {
+            "eye_pos": [0.0, 5.0, 5.0],
+            "camera": M,
+        },
+        "look_at": [0.0, 0.0, 0.0],
+        "frames": frames,
+    }
+    for split in ("train", "val"):
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    ds = dataset_dict["pyredner2"](str(root), "train", img_wh=(8, 8))
+    assert ds.all_rays.shape == (128, 8)
+    assert ds.cam_ms.shape == (2, 3, 3)
+    # PPC matrix comes verbatim from the JSON, not from lookat
+    np.testing.assert_allclose(ds.cam_ms[0], np.asarray(M), rtol=1e-6)
+
+
+def test_depth_utils_pfm_roundtrip(tmp_path):
+    from nerf_pl_tpu.data.depth_utils import read_pfm, save_pfm
+
+    img = np.random.RandomState(0).rand(6, 5).astype(np.float32)
+    p = str(tmp_path / "d.pfm")
+    save_pfm(p, img)
+    back, scale = read_pfm(p)
+    np.testing.assert_allclose(back, img, rtol=1e-6)
