@@ -1,0 +1,150 @@
+"""Tools: eval CLI, mesh extraction, weights-only export."""
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(blender_root, tmp_path_factory):
+    """Train 1 epoch on the tiny scene and return the ckpt path."""
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.training.trainer import NeRFSystem
+
+    tmp = tmp_path_factory.mktemp("tool_run")
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=8, N_importance=8, batch_size=16, num_epochs=1, chunk=256,
+        lr=5e-3, exp_name="tools", log_dir=str(tmp / "logs"),
+        ckpt_dir=str(tmp / "ckpts"), num_sanity_val_steps=0,
+    )
+    NeRFSystem(cfg).fit()
+    ckpts = sorted(glob.glob(str(tmp / "ckpts" / "tools" / "*.ckpt")))
+    assert ckpts
+    return ckpts[-1]
+
+
+def test_eval_tool(blender_root, trained_ckpt, tmp_path):
+    from nerf_pl_tpu.tools.evaluate import get_opts, run
+
+    out = str(tmp_path / "results")
+    args = get_opts(
+        [
+            "--root_dir", blender_root, "--dataset_name", "blender",
+            "--split", "test", "--img_wh", "16", "16",
+            "--N_samples", "8", "--N_importance", "8",
+            "--chunk", "256", "--ckpt_path", trained_ckpt,
+            "--scene_name", "tiny", "--out_dir", out, "--save_depth",
+        ]
+    )
+    mean_psnr = run(args)
+    assert mean_psnr is not None and np.isfinite(mean_psnr)
+    d = os.path.join(out, "blender", "tiny")
+    assert os.path.exists(os.path.join(d, "000.png"))
+    assert os.path.exists(os.path.join(d, "tiny.gif"))
+    assert os.path.exists(os.path.join(d, "depth_000.pfm"))
+    # the PFM roundtrips
+    from nerf_pl_tpu.data.depth_utils import read_pfm
+
+    depth, _ = read_pfm(os.path.join(d, "depth_000.pfm"))
+    assert depth.shape == (16, 16)
+
+
+@pytest.fixture(scope="module")
+def mesh_ckpt(tmp_path_factory):
+    """A checkpoint whose fine model has guaranteed density variation: a
+    fresh init with the sigma bias lifted so ~half the grid is 'inside'
+    (a 1-epoch toy model can legitimately end up with zero density)."""
+    import jax
+
+    from nerf_pl_tpu.models.nerf import init_nerf
+    from nerf_pl_tpu.training.checkpoints import save_checkpoint
+
+    params = {
+        "coarse": init_nerf(jax.random.PRNGKey(0)),
+        "fine": init_nerf(jax.random.PRNGKey(1)),
+    }
+    for name in params:
+        params[name]["sigma"]["b"] = params[name]["sigma"]["b"] + 0.05
+    path = str(tmp_path_factory.mktemp("mesh_ckpt") / "mesh.ckpt")
+    save_checkpoint(path, {"params": params})
+    return path
+
+
+def _surface_threshold(ckpt, n_grid=24):
+    """Half the max density: guarantees voxels on both sides of a surface."""
+    import numpy as np
+
+    from nerf_pl_tpu.tools.evaluate import load_models
+    from nerf_pl_tpu.tools.extract_mesh import query_sigma_grid
+
+    params = load_models(ckpt)
+    g = np.linspace(-1, 1, n_grid).astype(np.float32)
+    xyz = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+    sigma = np.maximum(query_sigma_grid(params["fine"], xyz, 512), 0)
+    assert sigma.max() > 0, "model has no positive density anywhere"
+    return 0.5 * float(sigma.max())
+
+
+def test_extract_mesh_tool(blender_root, mesh_ckpt, tmp_path):
+    from nerf_pl_tpu.tools.extract_mesh import get_opts, run
+    from nerf_pl_tpu.tools.mesh_utils import read_ply
+
+    thr = _surface_threshold(mesh_ckpt)
+    out = str(tmp_path / "mesh.ply")
+    args = get_opts(
+        [
+            "--root_dir", blender_root, "--dataset_name", "blender",
+            "--img_wh", "16", "16", "--N_samples", "8", "--chunk", "512",
+            "--ckpt_path", mesh_ckpt, "--N_grid", "32",
+            "--sigma_threshold", str(thr), "--out_path", out,
+        ]
+    )
+    path = run(args)
+    verts, tris, colors = read_ply(path)
+    assert len(verts) > 0 and len(tris) > 0
+    assert colors is not None and colors.shape == (len(verts), 3)
+    # vertices inside the queried range
+    assert (np.abs(verts) <= 1.0 + 1e-5).all()
+
+
+def test_extract_mesh_vertex_normal_path(blender_root, mesh_ckpt, tmp_path):
+    from nerf_pl_tpu.tools.extract_mesh import get_opts, run
+    from nerf_pl_tpu.tools.mesh_utils import read_ply
+
+    thr = _surface_threshold(mesh_ckpt)
+    out = str(tmp_path / "meshn.ply")
+    args = get_opts(
+        [
+            "--root_dir", blender_root, "--dataset_name", "blender",
+            "--img_wh", "16", "16", "--N_samples", "8", "--chunk", "512",
+            "--ckpt_path", mesh_ckpt, "--N_grid", "24",
+            "--sigma_threshold", str(thr), "--out_path", out,
+            "--use_vertex_normal", "--N_importance", "8",
+        ]
+    )
+    path = run(args)
+    verts, tris, colors = read_ply(path)
+    assert len(verts) > 0 and colors is not None
+
+
+def test_save_weights_only(trained_ckpt, tmp_path):
+    from nerf_pl_tpu.training.checkpoints import load_checkpoint
+
+    out = str(tmp_path / "weights.ckpt")
+    r = subprocess.run(
+        [sys.executable, "save_weights_only.py", "--ckpt_path", trained_ckpt,
+         "--out_path", out],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+    )
+    assert r.returncode == 0, r.stderr
+    state = load_checkpoint(out)
+    assert "params" in state and "opt_state" not in state
+    # "portable scene": coarse+fine weights ~5 MB
+    assert os.path.getsize(out) < 8 * 1024 * 1024
+    assert os.path.getsize(out) < os.path.getsize(trained_ckpt)
