@@ -31,6 +31,7 @@ def make_scan_steps(optimizer, compute_dtype, iters):
             params["coarse"], params["fine"], rays, key,
             N_samples=64, N_importance=128, perturb=1.0, noise_std=1.0,
             white_back=True, compute_dtype=compute_dtype,
+            use_fused=jax.default_backend() == "tpu",
         )
         return jnp.mean((out["rgb_coarse"] - rgbs) ** 2) + jnp.mean(
             (out["rgb_fine"] - rgbs) ** 2

@@ -86,6 +86,7 @@ class Config:
     num_devices: Optional[int] = None  # None -> all local devices
     data_device_resident: bool = True  # keep the ray buffer in HBM
     remat_fine: bool = False  # jax.checkpoint on the fine pass
+    use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

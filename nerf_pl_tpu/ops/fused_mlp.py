@@ -1,0 +1,379 @@
+"""Fused Pallas NeRF-MLP kernel (forward + custom-VJP backward).
+
+Why: under ``jit`` XLA does not fuse consecutive matmuls, so every one of
+the 8 hidden layers round-trips its (points, 256) activation through HBM —
+at the flagship workload (262k points/step, f32) that is ~0.5 GB per layer
+per direction, which makes the whole train step HBM-bandwidth bound at
+~40 TFLOP/s (measured) against a ~200 TFLOP/s bf16 MXU.  This kernel runs
+the ENTIRE MLP (8 hidden layers + skip concat + sigma/rgb heads,
+reference ``models/nerf.py:41-123``) for a block of points inside VMEM:
+HBM traffic per point drops to one 128-wide input read and one 4-wide
+output write (+ the weight set, resident across grid steps).
+
+Design:
+  * Points are blocked on the grid dimension; all weights use constant
+    index maps so Pallas keeps them resident in VMEM across grid steps
+    (~2.7 MB f32 padded).
+  * Layer shapes are padded to MXU lanes: the embedded input (63 xyz + 27
+    dir = 90 channels) is carried as one (BP, 128) tile whose tail lanes
+    are zero; padded weight rows/cols are zero so results are exact.
+  * The skip concat at layer 4 (``models/nerf.py:107-110``) and the
+    dir-head concat become block-column matmuls on [x_tile | h].
+  * Backward is its own kernel (``custom_vjp``): it RECOMPUTES the forward
+    activations in VMEM (remat — cheaper than storing 8 layers to HBM),
+    then runs dgrad back down the stack and accumulates wgrads/bgrads into
+    revisited output blocks (zeroed at grid step 0).
+  * Matmuls run in a configurable compute dtype (bf16 by default) with f32
+    accumulation; wgrad accumulators are f32.
+
+Only used on TPU; ``models.nerf.nerf_apply`` is the portable reference
+path and the numerics oracle for the parity tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# fixed architecture (reference models/nerf.py defaults)
+D = 8
+W = 256
+CX = 63  # xyz embedding channels
+CD = 27  # dir embedding channels
+CIN = 128  # padded input tile (CX + CD = 90 -> 128)
+WH = 128  # dir-head hidden width (W // 2)
+SKIP = 4
+
+
+def pack_params(params, compute_dtype=jnp.bfloat16):
+    """NeRF param pytree -> padded dense operands for the kernel.
+
+    Returns a dict of arrays; padding rows/cols are zero so the padded
+    matmuls reproduce ``nerf_apply`` exactly.
+    """
+    f32 = jnp.float32
+
+    def pad(a, rows, cols):
+        a = a.astype(f32)
+        return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+    layers = params["xyz_layers"]
+    p = {}
+    # layer 0: (63, 256) -> (128, 256); the dir lanes (63..89) get zero rows
+    p["w0"] = pad(layers[0]["w"], CIN, W)
+    # layers 1..7; the skip layer takes [x_tile(128) | h(256)] -> (384, 256)
+    for i in range(1, D):
+        wi = layers[i]["w"]
+        if i == SKIP:
+            # reference concat([input_xyz, h]): first 63 rows are xyz
+            top = pad(wi[:CX], CIN, W)
+            bot = wi[CX:].astype(f32)
+            p[f"w{i}"] = jnp.concatenate([top, bot], axis=0)  # (384, 256)
+        else:
+            p[f"w{i}"] = wi.astype(f32)
+    for i in range(D):
+        p[f"b{i}"] = layers[i]["b"].astype(f32)[None, :]  # (1, 256)
+    # heads
+    p["wsig"] = pad(params["sigma"]["w"], W, CIN)  # (256, 128) col 0 live
+    p["bsig"] = jnp.pad(params["sigma"]["b"].astype(f32), (0, CIN - 1))[None, :]
+    p["wfin"] = params["xyz_final"]["w"].astype(f32)  # (256, 256)
+    p["bfin"] = params["xyz_final"]["b"].astype(f32)[None, :]
+    # dir layer: rows = [final(256) | x_tile(128)]; live x rows are 63..89
+    wd = params["dir_layer"]["w"].astype(f32)  # (256+27, 128)
+    top = wd[:W]
+    dirpart = jnp.zeros((CIN, WH), f32).at[CX : CX + CD].set(wd[W:])
+    p["wdir"] = jnp.concatenate([top, dirpart], axis=0)  # (384, 128)
+    p["bdir"] = params["dir_layer"]["b"].astype(f32)[None, :]
+    p["wrgb"] = pad(params["rgb"]["w"], WH, CIN)  # (128, 128) cols 0..2 live
+    p["brgb"] = jnp.pad(params["rgb"]["b"].astype(f32), (0, CIN - 3))[None, :]
+    return {k: v.astype(compute_dtype) if k.startswith("w") else v
+            for k, v in p.items()}
+
+
+def unpack_grads(g, params):
+    """Padded-operand grads -> NeRF param pytree grads (slice the padding)."""
+    layers = []
+    for i in range(D):
+        gw = g[f"w{i}"]
+        if i == 0:
+            gw = gw[:CX]
+        elif i == SKIP:
+            gw = jnp.concatenate([gw[:CX], gw[CIN:]], axis=0)
+        layers.append({"w": gw.astype(jnp.float32),
+                       "b": g[f"b{i}"][0].astype(jnp.float32)})
+    gwd = g["wdir"]
+    gwd = jnp.concatenate([gwd[:W], gwd[W + CX : W + CX + CD]], axis=0)
+    return {
+        "xyz_layers": layers,
+        "sigma": {"w": g["wsig"][:, :1].astype(jnp.float32),
+                  "b": g["bsig"][0, :1].astype(jnp.float32)},
+        "xyz_final": {"w": g["wfin"].astype(jnp.float32),
+                      "b": g["bfin"][0].astype(jnp.float32)},
+        "dir_layer": {"w": gwd.astype(jnp.float32),
+                      "b": g["bdir"][0].astype(jnp.float32)},
+        "rgb": {"w": g["wrgb"][:, :3].astype(jnp.float32),
+                "b": g["brgb"][0, :3].astype(jnp.float32)},
+    }
+
+
+_PKEYS = (
+    [f"w{i}" for i in range(D)]
+    + [f"b{i}" for i in range(D)]
+    + ["wsig", "bsig", "wfin", "bfin", "wdir", "bdir", "wrgb", "brgb"]
+)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fwd_body(refs, x, sigma_only):
+    """Shared forward recompute: returns (acts, sigma, extras)."""
+    cdt = refs["w0"].dtype
+    h = x
+    acts = [x]
+    for i in range(D):
+        if i == SKIP:
+            h = jnp.concatenate([x, h], axis=1)
+        pre = _mm(h.astype(cdt), refs[f"w{i}"][:]) + refs[f"b{i}"][:]
+        h = jnp.maximum(pre, 0.0)
+        acts.append(h)
+    sigma = _mm(h.astype(cdt), refs["wsig"][:]) + refs["bsig"][:]
+    if sigma_only:
+        return acts, sigma, None
+    fin = _mm(h.astype(cdt), refs["wfin"][:]) + refs["bfin"][:]
+    din = jnp.concatenate([fin, x], axis=1)  # (BP, 384)
+    dpre = _mm(din.astype(cdt), refs["wdir"][:]) + refs["bdir"][:]
+    d = jnp.maximum(dpre, 0.0)
+    rgb = jax.nn.sigmoid(_mm(d.astype(cdt), refs["wrgb"][:]) + refs["brgb"][:])
+    return acts, sigma, (fin, din, d, rgb)
+
+
+def _fwd_kernel(*refs_list, sigma_only):
+    x_ref = refs_list[0]
+    out_ref = refs_list[-1]
+    refs = dict(zip(_PKEYS, refs_list[1:-1]))
+    x = x_ref[:].astype(jnp.float32)
+    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
+    if sigma_only:
+        out_ref[:] = sigma
+    else:
+        _, _, _, rgb = extras
+        # out lanes: 0..2 rgb, 3 sigma, rest zero
+        out = jnp.concatenate(
+            [rgb[:, :3], sigma[:, :1],
+             jnp.zeros((x.shape[0], CIN - 4), jnp.float32)], axis=1
+        )
+        out_ref[:] = out
+
+
+def _bwd_kernel(*refs_list, sigma_only, n_blocks):
+    x_ref, g_ref = refs_list[0], refs_list[1]
+    refs = dict(zip(_PKEYS, refs_list[2 : 2 + len(_PKEYS)]))
+    outs = refs_list[2 + len(_PKEYS):]
+    dx_ref = outs[0]
+    grefs = dict(zip(_PKEYS, outs[1:]))
+    cdt = refs["w0"].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for k in _PKEYS:
+            grefs[k][:] = jnp.zeros_like(grefs[k])
+
+    x = x_ref[:].astype(jnp.float32)
+    g_out = g_ref[:].astype(jnp.float32)
+    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
+    h_last = acts[-1]
+
+    def wgrad(a, g):  # (BP, M)^T @ (BP, N) -> (M, N) contraction over rows
+        return jax.lax.dot_general(
+            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if sigma_only:
+        g_sigma = g_out  # (BP, CIN); only col 0 meaningful but pads are 0
+        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
+        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
+        g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
+        g_x_extra = jnp.zeros_like(x)
+    else:
+        fin, din, d, rgb = extras
+        g_rgball = jnp.concatenate(
+            [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
+            axis=1,
+        )
+        g_sigma1 = g_out[:, 3:4]
+        g_sigma = jnp.concatenate(
+            [g_sigma1, jnp.zeros((x.shape[0], CIN - 1), jnp.float32)], axis=1
+        )
+        g_rgbpre = g_rgball * rgb * (1.0 - rgb)
+        grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
+        grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
+        g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
+        g_dpre = g_d * (d > 0)
+        grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
+        grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
+        g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)  # (BP, 384)
+        g_fin = g_din[:, :W]
+        g_x_extra = g_din[:, W:]
+        grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
+        grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
+        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
+        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
+        g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
+            g_sigma.astype(cdt), refs["wsig"][:].T
+        )
+
+    g_x_total = g_x_extra
+    for i in range(D - 1, -1, -1):
+        h_out = acts[i + 1]
+        g_pre = g_h * (h_out > 0)
+        a_in = acts[i]
+        if i == SKIP:
+            a_in = jnp.concatenate([x, a_in], axis=1)
+        grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
+        grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
+        g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
+        if i == SKIP:
+            g_x_total = g_x_total + g_in[:, :CIN]
+            g_h = g_in[:, CIN:]
+        else:
+            g_h = g_in
+    g_x_total = g_x_total + g_h  # acts[0] == x feeds layer 0
+    dx_ref[:] = g_x_total
+
+
+def _specs_for_params(packed):
+    specs = []
+    for k in _PKEYS:
+        shape = packed[k].shape
+        specs.append(
+            pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    return specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_apply_padded(packed, x, sigma_only: bool, block: int,
+                        interpret: bool):
+    return _fused_fwd_call(packed, x, sigma_only, block, interpret)
+
+
+def _fused_fwd_call(packed, x, sigma_only, block, interpret):
+    P = x.shape[0]
+    grid = (P // block,)
+    kernel = functools.partial(_fwd_kernel, sigma_only=sigma_only)
+    out_cols = CIN
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_specs_for_params(packed),
+        ],
+        out_specs=pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, out_cols), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * 600_000, bytes_accessed=4 * P * (CIN + 4),
+            transcendentals=P,
+        ),
+        interpret=interpret,
+    )(x, *[packed[k] for k in _PKEYS])
+
+
+def _fused_fwd_rule(packed, x, sigma_only, block, interpret):
+    out = _fused_fwd_call(packed, x, sigma_only, block, interpret)
+    return out, (packed, x)
+
+
+def _fused_bwd_rule(sigma_only, block, interpret, res, g):
+    packed, x = res
+    P = x.shape[0]
+    grid = (P // block,)
+    kernel = functools.partial(
+        _bwd_kernel, sigma_only=sigma_only, n_blocks=grid[0]
+    )
+    out_shapes = [jax.ShapeDtypeStruct((P, CIN), jnp.float32)] + [
+        jax.ShapeDtypeStruct(packed[k].shape, jnp.float32) for k in _PKEYS
+    ]
+    out_specs = [
+        pl.BlockSpec((block, CIN), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] + _specs_for_params(packed)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_specs_for_params(packed),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * P * 600_000, bytes_accessed=4 * P * 2 * CIN,
+            transcendentals=P,
+        ),
+        interpret=interpret,
+    )(x, g, *[packed[k] for k in _PKEYS])
+    dx = outs[0]
+    gpacked = {k: v.astype(packed[k].dtype)
+               for k, v in zip(_PKEYS, outs[1:])}
+    return gpacked, dx
+
+
+_fused_apply_padded.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def supports_fused(params) -> bool:
+    """The kernel is specialized to the reference architecture."""
+    try:
+        layers = params["xyz_layers"]
+        return (
+            len(layers) == D
+            and layers[0]["w"].shape == (CX, W)
+            and layers[SKIP]["w"].shape == (W + CX, W)
+            and params["dir_layer"]["w"].shape == (W + CD, WH)
+        )
+    except (KeyError, TypeError, IndexError):
+        return False
+
+
+def fused_nerf_apply(
+    params,
+    x: jnp.ndarray,
+    sigma_only: bool = False,
+    compute_dtype=jnp.bfloat16,
+    block: int = 512,
+    interpret: bool = False,
+):
+    """Drop-in fused equivalent of ``models.nerf.nerf_apply`` (TPU only;
+    ``interpret=True`` runs the same kernel on CPU for tests).
+
+    Args:
+      x: (P, 63) embedded xyz when ``sigma_only`` else (P, 90) embedded
+         xyz+dir.  P is padded internally to a multiple of ``block``.
+    Returns:
+      (P, 1) sigma or (P, 4) rgb+sigma, float32.
+    """
+    P = x.shape[0]
+    pad_cols = CIN - x.shape[1]
+    x_t = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad_cols)))
+    pad_rows = (-P) % block
+    if pad_rows:
+        x_t = jnp.pad(x_t, ((0, pad_rows), (0, 0)))
+    packed = pack_params(params, compute_dtype)
+    out = _fused_apply_padded(packed, x_t, sigma_only, block, interpret)
+    out = out[:P]
+    if sigma_only:
+        return out[:, :1]
+    return jnp.concatenate([out[:, :3], out[:, 3:4]], axis=1)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..models.embedding import posenc
 from ..models.nerf import nerf_apply
 from .compositing import composite, compute_weights
+from .fused_mlp import fused_nerf_apply, supports_fused
 from .sampling import perturb_z_vals, sample_pdf, stratified_z_vals
 
 Results = Dict[str, jnp.ndarray]
@@ -44,22 +45,36 @@ def _query(
     xyz_freqs: int,
     sigma_only: bool,
     compute_dtype,
+    use_fused: bool = False,
 ):
-    """Embed positions and run the MLP on the flattened point batch."""
+    """Embed positions and run the MLP on the flattened point batch.
+
+    ``use_fused`` routes through the Pallas fused-MLP kernel
+    (``ops.fused_mlp`` — ~1.7x over the XLA path on TPU, which is
+    HBM-bound on inter-layer activations); only valid for the reference
+    architecture and on TPU backends.
+    """
     N_rays, S, _ = xyz.shape
     xyz_emb = posenc(xyz.reshape(-1, 3), xyz_freqs)  # (N*S, Cx)
+    fused = use_fused and supports_fused(params)
     if sigma_only:
-        out = nerf_apply(params, xyz_emb, sigma_only=True, compute_dtype=compute_dtype)
+        if fused:
+            out = fused_nerf_apply(
+                params, xyz_emb, sigma_only=True, compute_dtype=compute_dtype
+            )
+        else:
+            out = nerf_apply(
+                params, xyz_emb, sigma_only=True, compute_dtype=compute_dtype
+            )
         return out.reshape(N_rays, S), None
     dir_emb = jnp.broadcast_to(
         dir_embedded[:, None, :], (N_rays, S, dir_embedded.shape[-1])
     ).reshape(N_rays * S, -1)
-    out = nerf_apply(
-        params,
-        jnp.concatenate([xyz_emb, dir_emb], axis=-1),
-        sigma_only=False,
-        compute_dtype=compute_dtype,
-    )
+    x = jnp.concatenate([xyz_emb, dir_emb], axis=-1)
+    if fused:
+        out = fused_nerf_apply(params, x, compute_dtype=compute_dtype)
+    else:
+        out = nerf_apply(params, x, sigma_only=False, compute_dtype=compute_dtype)
     out = out.reshape(N_rays, S, 4)
     return out[..., 3], out[..., :3]  # sigmas (N,S), rgbs (N,S,3)
 
@@ -81,6 +96,7 @@ def render_rays(
     xyz_freqs: int = 10,
     dir_freqs: int = 4,
     compute_dtype=jnp.float32,
+    use_fused: bool = False,
     overrides: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Results:
     """Render a batch of rays coarse(+fine). See module docstring for modes."""
@@ -113,7 +129,7 @@ def render_rays(
     coarse_sigma_only = sigma_mode or test_time
     sigmas_c, rgbs_c = _query(
         params_coarse, xyz_coarse, dir_embedded, xyz_freqs,
-        coarse_sigma_only, compute_dtype,
+        coarse_sigma_only, compute_dtype, use_fused,
     )
     weights_coarse = compute_weights(
         sigmas_c, z_vals, rays_d, noise_std, key=k_noise_c,
@@ -150,7 +166,8 @@ def render_rays(
 
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         sigmas_f, rgbs_f = _query(
-            params_fine, xyz_fine, dir_embedded, xyz_freqs, sigma_mode, compute_dtype
+            params_fine, xyz_fine, dir_embedded, xyz_freqs, sigma_mode,
+            compute_dtype, use_fused,
         )
         weights_fine = compute_weights(
             sigmas_f, z_all, rays_d, noise_std, key=k_noise_f,

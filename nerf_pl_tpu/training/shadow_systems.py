@@ -70,6 +70,8 @@ from .trainer import NeRFSystem, init_params, render_kwargs_from_cfg
 
 
 def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
+    from .trainer import use_fused_for_backend
+
     return dict(
         N_samples=cfg.N_samples,
         use_disp=cfg.use_disp,
@@ -78,6 +80,7 @@ def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
         N_importance=n_importance,
         mode="sigma",
         compute_dtype=jnp.dtype(cfg.compute_dtype),
+        use_fused=use_fused_for_backend(cfg),
     )
 
 

@@ -52,6 +52,10 @@ def init_params(cfg: Config, key: jax.Array) -> Dict[str, Any]:
     return params
 
 
+def use_fused_for_backend(cfg: Config) -> bool:
+    return bool(cfg.use_fused_mlp) and jax.default_backend() == "tpu"
+
+
 def render_kwargs_from_cfg(cfg: Config, white_back: bool, train: bool) -> dict:
     return dict(
         N_samples=cfg.N_samples,
@@ -61,6 +65,7 @@ def render_kwargs_from_cfg(cfg: Config, white_back: bool, train: bool) -> dict:
         N_importance=cfg.N_importance,
         white_back=white_back,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
+        use_fused=use_fused_for_backend(cfg),
     )
 
 

@@ -1,0 +1,133 @@
+"""Pallas fused-MLP kernel vs the portable ``nerf_apply`` oracle
+(interpret mode — same kernel code path, CPU-executable)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.models.nerf import init_nerf, nerf_apply
+from nerf_pl_tpu.ops.fused_mlp import (
+    fused_nerf_apply,
+    pack_params,
+    supports_fused,
+    unpack_grads,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    p = init_nerf(key)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (512, 90)) * 0.5
+    return p, x
+
+
+def test_supports_fused(setup):
+    p, _ = setup
+    assert supports_fused(p)
+    assert not supports_fused({"xyz_layers": []})
+    small = init_nerf(jax.random.PRNGKey(0), D=4, W=128,
+                      in_channels_xyz=63, in_channels_dir=27)
+    assert not supports_fused(small)
+
+
+def test_forward_parity(setup):
+    p, x = setup
+    ref = np.asarray(nerf_apply(p, x))
+    got = np.asarray(
+        fused_nerf_apply(p, x, compute_dtype=jnp.float32, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_forward_sigma_only_parity(setup):
+    p, x = setup
+    xs = x[:, :63]
+    ref = np.asarray(nerf_apply(p, xs, sigma_only=True))
+    got = np.asarray(
+        fused_nerf_apply(p, xs, sigma_only=True, compute_dtype=jnp.float32,
+                         interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_row_padding(setup):
+    """Non-multiple-of-block point counts are padded then sliced."""
+    p, x = setup
+    xr = x[:300]
+    ref = np.asarray(nerf_apply(p, xr))
+    got = np.asarray(
+        fused_nerf_apply(p, xr, compute_dtype=jnp.float32, interpret=True,
+                         block=256)
+    )
+    assert got.shape == (300, 4)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_grad_parity(setup):
+    p, x = setup
+    t = jax.random.uniform(jax.random.PRNGKey(9), (x.shape[0], 4))
+
+    def loss_ref(p):
+        return jnp.mean((nerf_apply(p, x) - t) ** 2)
+
+    def loss_fused(p):
+        out = fused_nerf_apply(p, x, compute_dtype=jnp.float32, interpret=True)
+        return jnp.mean((out - t) ** 2)
+
+    gr = jax.grad(loss_ref)(p)
+    gf = jax.grad(loss_fused)(p)
+    for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gf)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-10
+        assert np.abs(a - b).max() / denom < 5e-3, (np.abs(a - b).max(), denom)
+
+
+def test_pack_unpack_shapes(setup):
+    p, _ = setup
+    packed = pack_params(p, jnp.float32)
+    zeros = {k: jnp.zeros_like(v) for k, v in packed.items()}
+    g = unpack_grads(zeros, p)
+    # grads mirror the param pytree structure/shapes
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(p)):
+        assert a.shape == b.shape
+
+
+def test_render_rays_fused_interpret_matches_unfused(setup, monkeypatch):
+    """End-to-end: render_rays(use_fused=True) == use_fused=False with the
+    kernel in interpret mode."""
+    import nerf_pl_tpu.ops.fused_mlp as fm
+    from nerf_pl_tpu.ops.rendering import render_rays
+
+    orig = fm.fused_nerf_apply
+
+    def interp(params, x, **kw):
+        kw["interpret"] = True
+        kw.setdefault("compute_dtype", jnp.float32)
+        kw.pop("compute_dtype", None)
+        return orig(params, x, compute_dtype=jnp.float32, interpret=True,
+                    **{k: v for k, v in kw.items()
+                       if k in ("sigma_only", "block")})
+
+    import nerf_pl_tpu.ops.rendering as rend
+
+    monkeypatch.setattr(rend, "fused_nerf_apply", interp)
+
+    p, _ = setup
+    key = jax.random.PRNGKey(3)
+    o = jax.random.normal(key, (16, 3)) * 0.1
+    d = jax.random.normal(jax.random.fold_in(key, 1), (16, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.concatenate(
+        [o, d, jnp.full((16, 1), 2.0), jnp.full((16, 1), 6.0)], -1
+    )
+    kw = dict(N_samples=8, N_importance=8, perturb=0.0, noise_std=0.0,
+              white_back=True)
+    a = render_rays(p, p, rays, jax.random.PRNGKey(5), use_fused=False, **kw)
+    b = render_rays(p, p, rays, jax.random.PRNGKey(5), use_fused=True, **kw)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=5e-4, atol=5e-4
+        )
