@@ -1,3 +1,5 @@
-from .mesh import make_mesh, shard_rays, replicate, local_shard_size, shard_map
+from .mesh import (initialize_distributed, local_shard_size, make_mesh,
+                   replicate, shard_map, shard_rays)
 
-__all__ = ["make_mesh", "shard_rays", "replicate", "local_shard_size", "shard_map"]
+__all__ = ["initialize_distributed", "make_mesh", "shard_rays", "replicate",
+           "local_shard_size", "shard_map"]

@@ -22,6 +22,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up: call once per host before ``make_mesh`` so the
+    mesh spans every chip of the pod slice (the reference's analogue is
+    Lightning spawning one DDP process per GPU, ``train.py:174-175``).
+    No-op if already initialized or single-process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process context
+
+
 def shard_map(f, mesh: Mesh, in_specs, out_specs):
     """Version-compat wrapper over ``jax.shard_map`` (replication checking
     off: our outputs are made replicated by explicit ``pmean``)."""

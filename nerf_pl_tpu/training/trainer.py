@@ -131,6 +131,51 @@ def make_epoch_fn(
     return jax.jit(fn, donate_argnums=(0, 1))
 
 
+def make_step_fn(
+    cfg: Config,
+    mesh,
+    optimizer: optax.GradientTransformation,
+    white_back: bool,
+    mode: str = "rgb",
+    loss_name: str = "mse",
+):
+    """Single sharded train step for HOST-STREAMING mode
+    (``data_device_resident=False``): batches arrive from the native
+    C++ ray store (``data.native.RayStore``) instead of living in HBM —
+    the path for datasets larger than device memory."""
+    loss_fn_inner = loss_dict[loss_name]
+    rkw = render_kwargs_from_cfg(cfg, white_back, train=True)
+    target_key = {"rgb": "rgb", "sigma": "depth", "rgb_disp": "rgb"}[mode]
+
+    def loss_and_metrics(params, rays, rgbs, key):
+        results = render_rays(
+            params.get("coarse"), params.get("fine"), rays, key, mode=mode, **rkw
+        )
+        loss = loss_fn_inner(results, rgbs)
+        typ = "fine" if f"{target_key}_fine" in results else "coarse"
+        return loss, psnr_metric(results[f"{target_key}_{typ}"], rgbs)
+
+    def device_step(params, opt_state, rays, rgbs, key):
+        dev = jax.lax.axis_index("rays")
+        (loss, psnr), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True
+        )(params, rays, rgbs, jax.random.fold_in(key, dev))
+        grads = jax.lax.pmean(grads, "rays")
+        loss = jax.lax.pmean(loss, "rays")
+        psnr = jax.lax.pmean(psnr, "rays")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, psnr
+
+    fn = shard_map(
+        device_step,
+        mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
 class NeRFSystem:
     """Vanilla NeRF trainer (reference ``train.py:27-148``)."""
 
@@ -142,6 +187,7 @@ class NeRFSystem:
         self.mesh = make_mesh(cfg.num_devices)
         self.logger = RunLogger(cfg.log_dir, cfg.exp_name)
         self.rng = jax.random.PRNGKey(cfg.seed)
+        self.ray_store = None  # set by _prepare_data in streaming mode
         self._prepare_data()
         self._build_state()
         self.epoch_fn = self._build_epoch_fn()
@@ -149,6 +195,12 @@ class NeRFSystem:
         self._topk: list = []  # (val_loss, path)
 
     def _build_epoch_fn(self):
+        if self.ray_store is not None:
+            self._step_fn = make_step_fn(
+                self.cfg, self.mesh, self.optimizer, self.white_back,
+                mode=self.mode, loss_name=self.loss_name,
+            )
+            return None
         return make_epoch_fn(
             self.cfg,
             self.mesh,
@@ -156,6 +208,33 @@ class NeRFSystem:
             self.white_back,
             mode=self.mode,
             loss_name=self.loss_name,
+        )
+
+    def _run_streaming_epoch(self, epoch: int, epoch_key):
+        """Host loop: native-store batches -> sharded single-step jit."""
+        from jax.sharding import NamedSharding
+
+        cfg = self.cfg
+        d = self.mesh.devices.size
+        gb = cfg.batch_size * d
+        sh = NamedSharding(self.mesh, P("rays"))
+        losses, psnrs = [], []
+        for step in range(self.steps_per_epoch):
+            rows = self.ray_store.fill_batch(epoch, step, gb)
+            if len(rows) < gb:
+                break
+            rays_np, rgbs_np = self.ray_store.split(rows)
+            rays = jax.device_put(jnp.asarray(rays_np), sh)
+            rgbs = jax.device_put(jnp.asarray(rgbs_np), sh)
+            self.params, self.opt_state, loss, psnr = self._step_fn(
+                self.params, self.opt_state, rays, rgbs,
+                jax.random.fold_in(epoch_key, step),
+            )
+            losses.append(loss)
+            psnrs.append(psnr)
+        return (
+            np.asarray([float(l) for l in losses]),
+            np.asarray([float(p) for p in psnrs]),
         )
 
     # -- data ---------------------------------------------------------------
@@ -175,15 +254,29 @@ class NeRFSystem:
         self.train_dataset = ds_cls(split="train", **kwargs)
         self.val_dataset = ds_cls(split="val", **kwargs)
         self.white_back = self.train_dataset.white_back
-        # device-resident sharded buffers
-        self.rays_buf = shard_rays(self.train_dataset.all_rays, self.mesh)
-        self.rgbs_buf = shard_rays(self.train_dataset.all_rgbs, self.mesh)
+        self.ray_store = None
+        if cfg.data_device_resident:
+            # device-resident sharded buffers (fast path)
+            self.rays_buf = shard_rays(self.train_dataset.all_rays, self.mesh)
+            self.rgbs_buf = shard_rays(self.train_dataset.all_rgbs, self.mesh)
+        else:
+            # host streaming through the native C++ ray store
+            from ..data.native import RayStore
+
+            self.ray_store = RayStore(
+                [self.train_dataset.all_rays, self.train_dataset.all_rgbs],
+                seed=cfg.seed,
+            )
 
     # -- state --------------------------------------------------------------
     def _build_state(self):
         cfg = self.cfg
         d = self.mesh.devices.size
-        n = self.rays_buf.shape[0]
+        n = (
+            self.ray_store.n_rows
+            if self.ray_store is not None
+            else self.rays_buf.shape[0]
+        )
         self.steps_per_epoch = (n // d) // cfg.batch_size
         schedule = make_lr_schedule(
             cfg.lr,
@@ -291,18 +384,31 @@ class NeRFSystem:
     # -- main loop ----------------------------------------------------------
     def fit(self):
         cfg = self.cfg
+        # preemption-safe checkpointing (SURVEY.md §5.3): SIGTERM saves a
+        # resumable state before the process dies
+        from ..utils.profiling import install_preemption_handler
+
+        self._last_epoch = self.epoch0
+        install_preemption_handler(
+            lambda: self.save_ckpt(self._last_epoch, float("inf"))
+        )
         if cfg.num_sanity_val_steps > 0:
             metrics = self.validation(self.epoch0, max_images=cfg.num_sanity_val_steps)
             print(f"[sanity] {metrics}")
         global_step = self.epoch0 * self.steps_per_epoch
         for epoch in range(self.epoch0, cfg.num_epochs):
+            self._last_epoch = epoch
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
-            self.params, self.opt_state, losses, psnrs = self.epoch_fn(
-                self.params, self.opt_state, self.rays_buf, self.rgbs_buf, ek
-            )
-            losses = np.asarray(losses)
-            psnrs = np.asarray(psnrs)
+            if self.ray_store is not None:
+                losses, psnrs = self._run_streaming_epoch(epoch, ek)
+            else:
+                self.params, self.opt_state, losses, psnrs = self.epoch_fn(
+                    self.params, self.opt_state, self.rays_buf, self.rgbs_buf,
+                    ek,
+                )
+                losses = np.asarray(losses)
+                psnrs = np.asarray(psnrs)
             dt = time.time() - t0
             global_step += self.steps_per_epoch
             rays_per_s = (

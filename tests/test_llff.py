@@ -1,0 +1,102 @@
+import os
+
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.data.llff import (
+    LLFFDataset,
+    average_poses,
+    center_poses,
+    create_spheric_poses,
+    create_spiral_poses,
+)
+
+
+@pytest.fixture(scope="module")
+def llff_root(tmp_path_factory):
+    """Synthetic LLFF scene: poses_bounds.npy + images/ (8x6 frames)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("llff_scene")
+    (root / "images").mkdir()
+    rng = np.random.RandomState(0)
+    H, W, focal = 6.0, 8.0, 10.0
+    n = 5
+    rows = []
+    for i in range(n):
+        theta = 0.2 * (i - n // 2)
+        # camera ring in "down right back" convention (llff.py:198 expects it)
+        right = np.array([np.cos(theta), 0, -np.sin(theta)])
+        back = np.array([np.sin(theta), 0, np.cos(theta)])
+        down = np.cross(back, right)
+        center = back * 4.0 + np.array([0, 0.1 * i, 0])
+        pose = np.stack([down, right, back, center], 1)  # (3,4)
+        hwf = np.array([[H], [W], [focal]])
+        rows.append(np.concatenate([np.concatenate([pose, hwf], 1).reshape(-1),
+                                    [2.0 + 0.1 * i, 8.0]]))
+        img = (rng.rand(int(H), int(W), 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"{i:03d}.png")
+    np.save(root / "poses_bounds.npy", np.stack(rows))
+    return str(root)
+
+
+def test_average_and_center_poses():
+    rng = np.random.RandomState(1)
+    poses = []
+    for _ in range(6):
+        q = np.linalg.qr(rng.randn(3, 3))[0]
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        poses.append(np.concatenate([q, rng.randn(3, 1)], 1))
+    poses = np.stack(poses)
+    centered, inv_avg = center_poses(poses)
+    # after centering, the average pose is ~identity
+    avg2 = average_poses(centered)
+    np.testing.assert_allclose(avg2[:, :3], np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(avg2[:, 3], 0, atol=1e-5)
+
+
+def test_spiral_and_spheric_path_shapes():
+    sp = create_spiral_poses(np.array([1.0, 1.0, 0.5]), 3.5, n_poses=30)
+    assert sp.shape == (30, 3, 4)
+    # rotations orthonormal
+    rtr = np.einsum("nij,nik->njk", sp[:, :, :3], sp[:, :, :3])
+    np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), (30, 3, 3)),
+                               atol=1e-6)
+    sph = create_spheric_poses(2.0, n_poses=12)
+    assert sph.shape == (12, 3, 4)
+
+
+def test_llff_train_split_ndc(llff_root):
+    ds = LLFFDataset(llff_root, "train", img_wh=(8, 6))
+    # one pose (closest to center) held out for val
+    assert len(ds.all_rays) == 4 * 8 * 6
+    # NDC near/far are 0/1 (llff.py:236-242)
+    np.testing.assert_allclose(ds.all_rays[:, 6], 0.0)
+    np.testing.assert_allclose(ds.all_rays[:, 7], 1.0)
+    assert ds.white_back is False
+    # bounds rescaled so min depth ~1.33 (llff.py:205-211)
+    assert abs(ds.bounds.min() - 1 / 0.75) < 1e-6
+
+
+def test_llff_val_and_test_splits(llff_root):
+    val = LLFFDataset(llff_root, "val", img_wh=(8, 6), val_num=3)
+    assert len(val) == 3  # replicated for multi-device validation
+    s = val[0]
+    assert s["rays"].shape == (48, 8) and s["rgbs"].shape == (48, 3)
+
+    test = LLFFDataset(llff_root, "test", img_wh=(8, 6))
+    assert len(test) == 120  # spiral path default
+    assert test[0]["rays"].shape == (48, 8)
+
+    test_sph = LLFFDataset(llff_root, "test", img_wh=(8, 6),
+                           spheric_poses=True)
+    s2 = test_sph[0]
+    # spheric: near=min bound, far=min(8*near, max) (llff.py:243-245)
+    near = test_sph.bounds.min()
+    np.testing.assert_allclose(s2["rays"][0, 6], near, rtol=1e-6)
+
+
+def test_llff_aspect_ratio_assert(llff_root):
+    with pytest.raises(AssertionError):
+        LLFFDataset(llff_root, "train", img_wh=(10, 10))

@@ -1,0 +1,86 @@
+"""Native C++ ray store + host-streaming training mode."""
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.data.native import RayStore, native_available
+
+
+@pytest.fixture(scope="module")
+def store():
+    rng = np.random.RandomState(0)
+    rays = rng.rand(10_000, 8).astype(np.float32)
+    rgbs = rng.rand(10_000, 3).astype(np.float32)
+    return RayStore([rays, rgbs], seed=42), rays, rgbs
+
+
+def test_batch_matches_permutation(store):
+    rs, rays, rgbs = store
+    perm = rs.epoch_perm(0)
+    assert sorted(perm.tolist()) == list(range(10_000))
+    b = rs.fill_batch(0, 0, 256)
+    r, c = rs.split(b)
+    np.testing.assert_array_equal(r, rays[perm[:256]])
+    np.testing.assert_array_equal(c, rgbs[perm[:256]])
+    b2 = rs.fill_batch(0, 3, 256)
+    r2, _ = rs.split(b2)
+    np.testing.assert_array_equal(r2, rays[perm[768:1024]])
+
+
+def test_epochs_differ_and_are_deterministic(store):
+    rs, rays, rgbs = store
+    p0, p1 = rs.epoch_perm(0), rs.epoch_perm(1)
+    assert not np.array_equal(p0, p1)
+    rs2 = RayStore([rays, rgbs], seed=42)
+    np.testing.assert_array_equal(rs2.epoch_perm(0), p0)
+    rs3 = RayStore([rays, rgbs], seed=7)
+    assert not np.array_equal(rs3.epoch_perm(0), p0)
+
+
+def test_sequential_and_tail(store):
+    rs, rays, _ = store
+    s = rs.fill_sequential(5000, 100)
+    np.testing.assert_array_equal(s[:, :8], rays[5000:5100])
+    tail = rs.fill_batch(0, 10_000 // 256, 256)
+    assert len(tail) == 10_000 - (10_000 // 256) * 256
+
+
+def test_fallback_api_parity(store):
+    _, rays, rgbs = store
+    fb = RayStore([rays, rgbs], seed=1, force_fallback=True)
+    assert not fb.native
+    perm = fb.epoch_perm(0)
+    assert sorted(perm.tolist()) == list(range(10_000))
+    b = fb.fill_batch(0, 1, 128)
+    r, _ = fb.split(b)
+    np.testing.assert_array_equal(r, rays[perm[128:256]])
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_native_lib_built():
+    rs = RayStore([np.zeros((10, 2), np.float32)], seed=0)
+    assert rs.native
+
+
+def test_streaming_training_mode(blender_root, tmp_path):
+    """End-to-end: NeRFSystem with data_device_resident=False trains
+    through the native store."""
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.training.trainer import NeRFSystem
+
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=8, N_importance=8, batch_size=8, num_epochs=2, chunk=256,
+        lr=5e-3, exp_name="stream", log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), num_sanity_val_steps=0,
+        data_device_resident=False,
+    )
+    system = NeRFSystem(cfg)
+    assert system.ray_store is not None
+    system.fit()
+    import json
+
+    recs = [
+        json.loads(l) for l in open(f"{cfg.log_dir}/{cfg.exp_name}/metrics.jsonl")
+    ]
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert len(losses) == 2 and np.isfinite(losses).all()
