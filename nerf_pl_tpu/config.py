@@ -87,6 +87,8 @@ class Config:
     data_device_resident: bool = True  # keep the ray buffer in HBM
     remat_fine: bool = False  # jax.checkpoint on the fine pass
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
+    profile: bool = False  # jax.profiler trace of the first epoch
+    debug_nans: bool = False  # jax_debug_nans toggle (SURVEY.md §5.2)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

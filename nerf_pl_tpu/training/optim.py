@@ -138,6 +138,13 @@ def get_optimizer(
         core = [optax.scale_by_adam(eps=eps)]
     elif optimizer == "radam":
         core = [optax.scale_by_radam(eps=eps)]
+    elif optimizer == "adamw":
+        # decoupled weight decay (reference ships an AdamW class,
+        # utils/optimizers.py:173, though its CLI never exposes it)
+        core = [optax.scale_by_adam(eps=eps)]
+        if weight_decay > 0:
+            wd = []  # torch AdamW decay is applied after the adam scale
+            core.append(optax.add_decayed_weights(weight_decay))
     elif optimizer == "ranger":
         core = [optax.scale_by_radam(eps=eps)]
     else:

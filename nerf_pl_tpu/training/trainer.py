@@ -392,6 +392,10 @@ class NeRFSystem:
         install_preemption_handler(
             lambda: self.save_ckpt(self._last_epoch, float("inf"))
         )
+        if cfg.debug_nans:
+            from ..utils.profiling import enable_nan_debugging
+
+            enable_nan_debugging(True)
         if cfg.num_sanity_val_steps > 0:
             metrics = self.validation(self.epoch0, max_images=cfg.num_sanity_val_steps)
             print(f"[sanity] {metrics}")
@@ -400,15 +404,25 @@ class NeRFSystem:
             self._last_epoch = epoch
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
-            if self.ray_store is not None:
-                losses, psnrs = self._run_streaming_epoch(epoch, ek)
-            else:
-                self.params, self.opt_state, losses, psnrs = self.epoch_fn(
-                    self.params, self.opt_state, self.rays_buf, self.rgbs_buf,
-                    ek,
-                )
-                losses = np.asarray(losses)
-                psnrs = np.asarray(psnrs)
+            import contextlib
+
+            from ..utils.profiling import profile_trace
+
+            prof = (
+                profile_trace(os.path.join(self.logger.dir, "trace"))
+                if cfg.profile and epoch == self.epoch0
+                else contextlib.nullcontext()
+            )
+            with prof:
+                if self.ray_store is not None:
+                    losses, psnrs = self._run_streaming_epoch(epoch, ek)
+                else:
+                    self.params, self.opt_state, losses, psnrs = self.epoch_fn(
+                        self.params, self.opt_state, self.rays_buf,
+                        self.rgbs_buf, ek,
+                    )
+                    losses = np.asarray(losses)
+                    psnrs = np.asarray(psnrs)
             dt = time.time() - t0
             global_step += self.steps_per_epoch
             rays_per_s = (
