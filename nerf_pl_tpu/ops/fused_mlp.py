@@ -377,3 +377,295 @@ def fused_nerf_apply(
     if sigma_only:
         return out[:, :1]
     return jnp.concatenate([out[:, :3], out[:, 3:4]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Raw-input variant: positional encoding computed INSIDE the kernel.
+#
+# The XLA-side posenc is transcendental-heavy AND forces a (P, 128)-wide
+# embedded input through HBM for every pass (fwd coarse/fine + bwd re-reads).
+# Here the kernel takes raw (P, 8) [xyz | dir | pad] rows and builds the
+# embedding in VMEM, where the VPU sin/cos pipeline overlaps the MXU matmuls.
+#
+# Internal channel layout (a permutation of the reference's embedding order;
+# pack_params_raw permutes the affected weight ROWS to match, so outputs are
+# identical):
+#   cols 0-2   xyz raw          cols 3-5   dir raw
+#   cols 8+3k+c        sin(2^k * xyz_c)   k<10
+#   cols 8+30+3k+c     sin(2^k * dir_c)   k<4
+#   cols 56+...        the matching cos block
+# ---------------------------------------------------------------------------
+_XYZ_F = 10
+_DIR_F = 4
+_SIN0 = 8
+_COS0 = 56
+_NSCALE = 48  # 30 xyz + 12 dir + 6 zero
+
+
+def _raw_perm():
+    """original embedded channel (0..89) -> internal tile column."""
+    perm = np.zeros(CX + CD, np.int64)
+    for c in range(3):
+        perm[c] = c
+        perm[CX + c] = 3 + c
+    for k in range(_XYZ_F):
+        for c in range(3):
+            perm[3 + 6 * k + c] = _SIN0 + 3 * k + c
+            perm[6 + 6 * k + c] = _COS0 + 3 * k + c
+    for k in range(_DIR_F):
+        for c in range(3):
+            perm[CX + 3 + 6 * k + c] = _SIN0 + 30 + 3 * k + c
+            perm[CX + 6 + 6 * k + c] = _COS0 + 30 + 3 * k + c
+    return perm
+
+
+_RAW_PERM = _raw_perm()
+# per-scaled-column multiply factors (exact powers of two; VPU elementwise)
+_SCALE_FACTORS = np.zeros((1, _NSCALE), np.float32)
+for _k in range(_XYZ_F):
+    _SCALE_FACTORS[0, 3 * _k : 3 * _k + 3] = 2.0 ** _k
+for _k in range(_DIR_F):
+    _SCALE_FACTORS[0, 30 + 3 * _k : 30 + 3 * _k + 3] = 2.0 ** _k
+
+
+def pack_params_raw(params, compute_dtype=jnp.bfloat16):
+    """Like ``pack_params`` but weight rows permuted to the internal raw
+    layout (W0, the skip layer's x-rows, and the dir head's dir-rows)."""
+    p = pack_params(params, compute_dtype)
+    xyz_new = _RAW_PERM[:CX]
+    dir_new = _RAW_PERM[CX:] 
+
+    def permute_rows(w, orig_rows_new_pos, n_rows):
+        out = jnp.zeros((n_rows, w.shape[1]), w.dtype)
+        return out.at[orig_rows_new_pos].set(w)
+
+    # w0: rows 0..62 live at permuted positions
+    p["w0"] = permute_rows(p["w0"][:CX], xyz_new, CIN)
+    # skip layer: first CIN rows are the x-tile part
+    skip = p[f"w{SKIP}"]
+    top = permute_rows(skip[:CX], xyz_new, CIN)
+    p[f"w{SKIP}"] = jnp.concatenate([top, skip[CIN:]], axis=0)
+    # dir head: rows W.. are the x-tile part (live dir rows at CX..CX+CD)
+    wdir = p["wdir"]
+    dirpart = permute_rows(wdir[W + CX : W + CX + CD], dir_new, CIN)
+    p["wdir"] = jnp.concatenate([wdir[:W], dirpart], axis=0)
+    return p
+
+
+def _embed_tile(x_raw):
+    """(BP, 8) raw -> (BP, CIN) internal-layout embedded tile (exact:
+    elementwise power-of-two scaling, no MXU rounding).  The per-column
+    scale factors are rebuilt from an in-kernel iota (pallas kernels may
+    not capture host constants)."""
+    bp = x_raw.shape[0]
+    xyz = x_raw[:, 0:3]
+    dirs = x_raw[:, 3:6]
+    tiled = jnp.concatenate(
+        [xyz] * _XYZ_F + [dirs] * _DIR_F + [jnp.zeros((bp, 6), x_raw.dtype)],
+        axis=1,
+    )  # (BP, 48)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, _NSCALE), 1)
+    k = jnp.where(col < 30, col // 3, (col - 30) // 3)
+    factors = jnp.where(col < 42, jnp.exp2(k.astype(x_raw.dtype)), 0.0)
+    scaled = tiled * factors
+    return jnp.concatenate(
+        [x_raw, jnp.sin(scaled), jnp.cos(scaled),
+         jnp.zeros((bp, CIN - 8 - 2 * _NSCALE), x_raw.dtype)],
+        axis=1,
+    )
+
+
+def _fwd_kernel_raw(*refs_list, sigma_only):
+    x_ref = refs_list[0]
+    out_ref = refs_list[-1]
+    refs = dict(zip(_PKEYS, refs_list[1:-1]))
+    x = _embed_tile(x_ref[:].astype(jnp.float32))
+    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
+    if sigma_only:
+        out_ref[:] = sigma
+    else:
+        _, _, _, rgb = extras
+        out_ref[:] = jnp.concatenate(
+            [rgb[:, :3], sigma[:, :1],
+             jnp.zeros((x.shape[0], CIN - 4), jnp.float32)], axis=1
+        )
+
+
+def _bwd_kernel_raw(*refs_list, sigma_only, n_blocks):
+    # identical to _bwd_kernel except the embedding recompute and a zero dx
+    # (rays/embeddings receive no gradient in training; the renderer
+    # discards the input cotangent)
+    x_ref, g_ref = refs_list[0], refs_list[1]
+    refs = dict(zip(_PKEYS, refs_list[2 : 2 + len(_PKEYS)]))
+    outs = refs_list[2 + len(_PKEYS):]
+    dx_ref = outs[0]
+    grefs = dict(zip(_PKEYS, outs[1:]))
+    cdt = refs["w0"].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for k in _PKEYS:
+            grefs[k][:] = jnp.zeros_like(grefs[k])
+
+    x = _embed_tile(x_ref[:].astype(jnp.float32))
+    g_out = g_ref[:].astype(jnp.float32)
+    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
+    h_last = acts[-1]
+
+    def wgrad(a, g):
+        return jax.lax.dot_general(
+            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if sigma_only:
+        g_sigma = g_out
+        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
+        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
+        g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
+    else:
+        fin, din, d, rgb = extras
+        g_rgball = jnp.concatenate(
+            [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
+            axis=1,
+        )
+        g_sigma = jnp.concatenate(
+            [g_out[:, 3:4], jnp.zeros((x.shape[0], CIN - 1), jnp.float32)],
+            axis=1,
+        )
+        g_rgbpre = g_rgball * rgb * (1.0 - rgb)
+        grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
+        grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
+        g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
+        g_dpre = g_d * (d > 0)
+        grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
+        grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
+        g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)
+        g_fin = g_din[:, :W]
+        grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
+        grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
+        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
+        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
+        g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
+            g_sigma.astype(cdt), refs["wsig"][:].T
+        )
+
+    for i in range(D - 1, -1, -1):
+        h_out = acts[i + 1]
+        g_pre = g_h * (h_out > 0)
+        a_in = acts[i]
+        if i == SKIP:
+            a_in = jnp.concatenate([x, a_in], axis=1)
+        grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
+        grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
+        g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
+        g_h = g_in[:, CIN:] if i == SKIP else g_in
+    dx_ref[:] = jnp.zeros_like(dx_ref)
+
+
+RAW_COLS = 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_apply_raw(packed, x_raw, sigma_only: bool, block: int,
+                     interpret: bool):
+    return _fused_raw_fwd_call(packed, x_raw, sigma_only, block, interpret)
+
+
+def _fused_raw_fwd_call(packed, x_raw, sigma_only, block, interpret):
+    P = x_raw.shape[0]
+    grid = (P // block,)
+    kernel = functools.partial(_fwd_kernel_raw, sigma_only=sigma_only)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_specs_for_params(packed),
+        ],
+        out_specs=pl.BlockSpec((block, CIN), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, CIN), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * 600_000, bytes_accessed=4 * P * (RAW_COLS + 4),
+            transcendentals=2 * P * _NSCALE,
+        ),
+        interpret=interpret,
+    )(x_raw, *[packed[k] for k in _PKEYS])
+
+
+def _fused_raw_fwd_rule(packed, x_raw, sigma_only, block, interpret):
+    return (
+        _fused_raw_fwd_call(packed, x_raw, sigma_only, block, interpret),
+        (packed, x_raw),
+    )
+
+
+def _fused_raw_bwd_rule(sigma_only, block, interpret, res, g):
+    packed, x_raw = res
+    P = x_raw.shape[0]
+    grid = (P // block,)
+    kernel = functools.partial(
+        _bwd_kernel_raw, sigma_only=sigma_only, n_blocks=grid[0]
+    )
+    out_shapes = [jax.ShapeDtypeStruct((P, RAW_COLS), jnp.float32)] + [
+        jax.ShapeDtypeStruct(packed[k].shape, jnp.float32) for k in _PKEYS
+    ]
+    out_specs = [
+        pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ] + _specs_for_params(packed)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_specs_for_params(packed),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * P * 600_000, bytes_accessed=4 * P * 2 * CIN,
+            transcendentals=2 * P * _NSCALE,
+        ),
+        interpret=interpret,
+    )(x_raw, g, *[packed[k] for k in _PKEYS])
+    gpacked = {k: v.astype(packed[k].dtype)
+               for k, v in zip(_PKEYS, outs[1:])}
+    return gpacked, outs[0]
+
+
+_fused_apply_raw.defvjp(_fused_raw_fwd_rule, _fused_raw_bwd_rule)
+
+
+def fused_nerf_apply_raw(
+    params,
+    xyz: jnp.ndarray,  # (P, 3) RAW positions
+    dirs=None,  # (P, 3) raw dirs, or None for sigma_only
+    compute_dtype=jnp.bfloat16,
+    block: int = 512,
+    interpret: bool = False,
+):
+    """Fused MLP with IN-KERNEL positional encoding (see layout note above).
+    Same outputs as ``posenc + nerf_apply``; input cotangents are zero
+    (rays are data — the renderer never differentiates w.r.t. them)."""
+    P = xyz.shape[0]
+    sigma_only = dirs is None
+    parts = [xyz.astype(jnp.float32)]
+    parts.append(
+        jnp.zeros((P, 3), jnp.float32) if sigma_only else dirs.astype(jnp.float32)
+    )
+    parts.append(jnp.zeros((P, RAW_COLS - 6), jnp.float32))
+    x_raw = jnp.concatenate(parts, axis=1)
+    pad_rows = (-P) % block
+    if pad_rows:
+        x_raw = jnp.pad(x_raw, ((0, pad_rows), (0, 0)))
+    packed = pack_params_raw(params, compute_dtype)
+    out = _fused_apply_raw(packed, x_raw, sigma_only, block, interpret)[:P]
+    if sigma_only:
+        return out[:, :1]
+    return jnp.concatenate([out[:, :3], out[:, 3:4]], axis=1)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..models.embedding import posenc
 from ..models.nerf import nerf_apply
 from .compositing import composite, compute_weights
-from .fused_mlp import fused_nerf_apply, supports_fused
+from .fused_mlp import fused_nerf_apply_raw, supports_fused
 from .sampling import perturb_z_vals, sample_pdf, stratified_z_vals
 
 Results = Dict[str, jnp.ndarray]
@@ -41,7 +41,7 @@ Results = Dict[str, jnp.ndarray]
 def _query(
     params,
     xyz: jnp.ndarray,  # (N_rays, S, 3)
-    dir_embedded: Optional[jnp.ndarray],  # (N_rays, Cd) or None for sigma-only
+    dirs: Optional[jnp.ndarray],  # (N_rays, 3) RAW dirs, None for sigma-only
     xyz_freqs: int,
     sigma_only: bool,
     compute_dtype,
@@ -49,31 +49,39 @@ def _query(
 ):
     """Embed positions and run the MLP on the flattened point batch.
 
-    ``use_fused`` routes through the Pallas fused-MLP kernel
-    (``ops.fused_mlp`` — ~1.7x over the XLA path on TPU, which is
-    HBM-bound on inter-layer activations); only valid for the reference
-    architecture and on TPU backends.
+    ``use_fused`` routes through the raw-input Pallas fused-MLP kernel
+    (``ops.fused_mlp`` — whole MLP + positional encoding in VMEM; the XLA
+    path is HBM-bound on inter-layer activations); only valid for the
+    reference architecture and on TPU backends.
     """
     N_rays, S, _ = xyz.shape
-    xyz_emb = posenc(xyz.reshape(-1, 3), xyz_freqs)  # (N*S, Cx)
+    xyz_flat = xyz.reshape(-1, 3)
     fused = use_fused and supports_fused(params)
     if sigma_only:
         if fused:
-            out = fused_nerf_apply(
-                params, xyz_emb, sigma_only=True, compute_dtype=compute_dtype
+            out = fused_nerf_apply_raw(
+                params, xyz_flat, None, compute_dtype=compute_dtype
             )
         else:
             out = nerf_apply(
-                params, xyz_emb, sigma_only=True, compute_dtype=compute_dtype
+                params, posenc(xyz_flat, xyz_freqs), sigma_only=True,
+                compute_dtype=compute_dtype,
             )
         return out.reshape(N_rays, S), None
-    dir_emb = jnp.broadcast_to(
-        dir_embedded[:, None, :], (N_rays, S, dir_embedded.shape[-1])
-    ).reshape(N_rays * S, -1)
-    x = jnp.concatenate([xyz_emb, dir_emb], axis=-1)
     if fused:
-        out = fused_nerf_apply(params, x, compute_dtype=compute_dtype)
+        dirs_pt = jnp.broadcast_to(
+            dirs[:, None, :], (N_rays, S, 3)
+        ).reshape(-1, 3)
+        out = fused_nerf_apply_raw(
+            params, xyz_flat, dirs_pt, compute_dtype=compute_dtype
+        )
     else:
+        # embed per ray THEN broadcast (256x fewer transcendentals)
+        dir_emb = posenc(dirs, 4)
+        dir_emb = jnp.broadcast_to(
+            dir_emb[:, None, :], (N_rays, S, dir_emb.shape[-1])
+        ).reshape(N_rays * S, -1)
+        x = jnp.concatenate([posenc(xyz_flat, xyz_freqs), dir_emb], axis=-1)
         out = nerf_apply(params, x, sigma_only=False, compute_dtype=compute_dtype)
     out = out.reshape(N_rays, S, 4)
     return out[..., 3], out[..., :3]  # sigmas (N,S), rgbs (N,S,3)
@@ -114,7 +122,8 @@ def render_rays(
     else:
         k_perturb = k_noise_c = k_pdf = k_noise_f = None
 
-    dir_embedded = None if sigma_mode else posenc(rays_d, dir_freqs)
+    # raw dirs flow to _query; embedding happens per-path (fused: in-kernel)
+    dirs_for_query = None if sigma_mode else rays_d
 
     z_vals = stratified_z_vals(near, far, N_samples, use_disp)
     z_vals = jnp.broadcast_to(z_vals, (N_rays, N_samples))
@@ -128,7 +137,7 @@ def render_rays(
     result: Results = {}
     coarse_sigma_only = sigma_mode or test_time
     sigmas_c, rgbs_c = _query(
-        params_coarse, xyz_coarse, dir_embedded, xyz_freqs,
+        params_coarse, xyz_coarse, dirs_for_query, xyz_freqs,
         coarse_sigma_only, compute_dtype, use_fused,
     )
     weights_coarse = compute_weights(
@@ -166,7 +175,7 @@ def render_rays(
 
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         sigmas_f, rgbs_f = _query(
-            params_fine, xyz_fine, dir_embedded, xyz_freqs, sigma_mode,
+            params_fine, xyz_fine, dirs_for_query, xyz_freqs, sigma_mode,
             compute_dtype, use_fused,
         )
         weights_fine = compute_weights(
