@@ -67,6 +67,7 @@ def main():
             params, jnp.asarray(rays), jax.random.PRNGKey(i),
             N_samples=args.N_samples, N_importance=args.N_importance,
             perturb=0.0, noise_std=0.0, white_back=True, mode=args.mode,
+            use_fused=jax.default_backend() == "tpu",
         )
         jax.block_until_ready(out)
         if args.mode == "rgb":

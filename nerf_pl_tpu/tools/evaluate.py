@@ -92,6 +92,7 @@ def run(args) -> Optional[float]:
         noise_std=0.0,
         white_back=dataset.white_back,
         test_time=True,
+        use_fused=jax.default_backend() == "tpu",
     )
     for i in range(len(dataset)):
         sample = dataset[i]

@@ -104,6 +104,7 @@ def _chunked_render(params, rays: np.ndarray, chunk: int, n_samples: int,
             p.get("coarse"), p.get("fine"), r, None, N_samples=n_samples,
             N_importance=n_importance, perturb=0.0, noise_std=0.0,
             white_back=white_back, test_time=True,
+            use_fused=jax.default_backend() == "tpu",
         )
 
     outs = {}

@@ -1,0 +1,36 @@
+"""Generate a geometrically consistent synthetic test scene (see
+``nerf_pl_tpu.data.synthetic``).
+
+Usage:
+    python scripts/make_synthetic_scene.py --out /tmp/sphere_scene \
+        --img_wh 64 --n_train 20 --n_val 2 --n_test 2
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from nerf_pl_tpu.data.synthetic import generate_scene
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--img_wh", type=int, default=64)
+    ap.add_argument("--n_train", type=int, default=20)
+    ap.add_argument("--n_val", type=int, default=2)
+    ap.add_argument("--n_test", type=int, default=2)
+    ap.add_argument("--radius", type=float, default=4.5)
+    ap.add_argument("--camera_angle_x", type=float, default=0.8)
+    args = ap.parse_args()
+    generate_scene(args.out, args.img_wh, args.n_train, args.n_val,
+                   args.n_test, args.radius, args.camera_angle_x)
+    print(f"wrote {args.out} ({args.n_train}+{args.n_val}+{args.n_test} "
+          f"views @ {args.img_wh}x{args.img_wh})")
+
+
+if __name__ == "__main__":
+    main()
