@@ -65,10 +65,21 @@ def shard_rays(buf: np.ndarray, mesh: Mesh) -> jax.Array:
 
     N is truncated to a multiple of the device count (at most ``D-1`` rays
     dropped per epoch — the same rounding DistributedSampler applies).
+
+    Multi-host (SURVEY.md §7 "host data pipeline at pod scale"): each host
+    passes only ITS rows — e.g. the rays of the image subset it loaded
+    (``buf[process_index::process_count]`` style splits) — and the global
+    array is assembled from per-process local shards without any host ever
+    materializing the full pod-scale buffer.
     """
     d = mesh.devices.size
-    n = (buf.shape[0] // d) * d
     sharding = NamedSharding(mesh, P("rays"))
+    if jax.process_count() > 1:
+        # local rows must split evenly over this host's addressable devices
+        d_local = len(mesh.local_devices)
+        n = (buf.shape[0] // d_local) * d_local
+        return jax.make_array_from_process_local_data(sharding, buf[:n])
+    n = (buf.shape[0] // d) * d
     return jax.device_put(buf[:n], sharding)
 
 
