@@ -567,12 +567,20 @@ RAW_COLS = 8
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_apply_raw(packed, x_raw, sigma_only: bool, block: int,
+def _fused_apply_raw(packed, x_raw, sigma_only: bool, block,
                      interpret: bool):
     return _fused_raw_fwd_call(packed, x_raw, sigma_only, block, interpret)
 
 
+def _blocks(block):
+    """block may be an int or a (fwd_block, bwd_block) pair."""
+    if isinstance(block, tuple):
+        return block
+    return block, block
+
+
 def _fused_raw_fwd_call(packed, x_raw, sigma_only, block, interpret):
+    block, _ = _blocks(block)
     P = x_raw.shape[0]
     grid = (P // block,)
     kernel = functools.partial(_fwd_kernel_raw, sigma_only=sigma_only)
@@ -604,6 +612,7 @@ def _fused_raw_fwd_rule(packed, x_raw, sigma_only, block, interpret):
 
 def _fused_raw_bwd_rule(sigma_only, block, interpret, res, g):
     packed, x_raw = res
+    _, block = _blocks(block)
     P = x_raw.shape[0]
     grid = (P // block,)
     kernel = functools.partial(
@@ -647,7 +656,7 @@ def fused_nerf_apply_raw(
     xyz: jnp.ndarray,  # (P, 3) RAW positions
     dirs=None,  # (P, 3) raw dirs, or None for sigma_only
     compute_dtype=jnp.bfloat16,
-    block: int = 512,
+    block=(1024, 512),  # (fwd, bwd) point-block sizes; bwd is VMEM-heavier
     interpret: bool = False,
 ):
     """Fused MLP with IN-KERNEL positional encoding (see layout note above).
@@ -661,7 +670,9 @@ def fused_nerf_apply_raw(
     )
     parts.append(jnp.zeros((P, RAW_COLS - 6), jnp.float32))
     x_raw = jnp.concatenate(parts, axis=1)
-    pad_rows = (-P) % block
+    bf, bb = _blocks(block)
+    pad_to = bf * bb // np.gcd(bf, bb)
+    pad_rows = (-P) % pad_to
     if pad_rows:
         x_raw = jnp.pad(x_raw, ((0, pad_rows), (0, 0)))
     packed = pack_params_raw(params, compute_dtype)
