@@ -166,6 +166,10 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--log_dir", type=str, default=d.log_dir)
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--remat_fine", action="store_true")
+    parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() == "true",
+                        default=d.use_fused_mlp)
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--debug_nans", action="store_true")
 
 
 def get_opts(argv: Optional[List[str]] = None) -> Config:
