@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 
@@ -170,6 +170,8 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
                         default=d.use_fused_mlp)
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--debug_nans", action="store_true")
+    parser.add_argument("--val_every_n_epochs", type=int,
+                        default=d.val_every_n_epochs)
 
 
 def get_opts(argv: Optional[List[str]] = None) -> Config:

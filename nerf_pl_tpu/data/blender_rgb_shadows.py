@@ -13,7 +13,6 @@ import json
 import os
 
 import numpy as np
-from PIL import Image
 
 from ..ops.ray_utils import get_ray_directions
 from .blender import _load_image, blend_rgba

@@ -13,7 +13,6 @@ frequencies in one broadcast multiply rather than a Python loop over bands.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ speed) with float32 MXU accumulation via ``preferred_element_type``.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ scan on the 8x128 VPU.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ path and the numerics oracle for the parity tests.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ TPU-first design notes (vs the reference's chunked torch loops):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

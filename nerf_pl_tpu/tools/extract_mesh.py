@@ -19,7 +19,6 @@ Pipeline (call stack parity, SURVEY.md §3.4):
 from __future__ import annotations
 
 import argparse
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

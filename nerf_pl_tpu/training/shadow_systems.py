@@ -36,7 +36,6 @@ TPU-first redesign (vs the reference's Lightning loops):
 """
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -52,21 +51,19 @@ from ..data import dataset_dict
 from ..ops.rendering import render_rays
 from ..ops.shadow_mapping import (
     efficient_sm,
-    gather_projected_depths,
     generate_shadow_map,
     get_normed_w,
     get_projections,
     normalize_min_max,
     shadow_mapping_images,
 )
-from ..ops.ray_utils import get_rays
 from ..parallel.mesh import make_mesh, replicate, shard_map, shard_rays
 from ..tools.render import render_image
 from ..utils.visualization import visualize_depth
 from .logging import RunLogger
 from .losses import mse_loss, opacity_loss, sm_loss
 from .metrics import psnr as psnr_metric
-from .trainer import NeRFSystem, init_params, render_kwargs_from_cfg
+from .trainer import NeRFSystem, init_params
 
 
 def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:

@@ -19,10 +19,9 @@ TPU-first redesign of the Lightning loop (SURVEY.md §3.1):
 """
 from __future__ import annotations
 
-import functools
 import os
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,7 @@ import optax
 
 from ..config import Config
 from ..data import dataset_dict
-from ..models.nerf import init_nerf, num_params
+from ..models.nerf import init_nerf
 from ..ops.rendering import render_rays
 from ..parallel.mesh import make_mesh, replicate, shard_map, shard_rays
 from ..tools.render import render_image

@@ -21,7 +21,7 @@ from __future__ import annotations
 import contextlib
 import os
 import signal
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 
