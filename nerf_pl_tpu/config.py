@@ -89,6 +89,7 @@ class Config:
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
     profile: bool = False  # jax.profiler trace of the first epoch
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY.md §5.2)
+    compilation_cache: bool = True  # persistent XLA cache across processes
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -172,6 +173,8 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--debug_nans", action="store_true")
     parser.add_argument("--val_every_n_epochs", type=int,
                         default=d.val_every_n_epochs)
+    parser.add_argument("--compilation_cache", type=lambda s: s.lower() == "true",
+                        default=d.compilation_cache)
 
 
 def get_opts(argv: Optional[List[str]] = None) -> Config:

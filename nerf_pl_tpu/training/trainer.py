@@ -183,6 +183,10 @@ class NeRFSystem:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        if cfg.compilation_cache:
+            from ..utils.profiling import enable_compilation_cache
+
+            enable_compilation_cache()
         self.mesh = make_mesh(cfg.num_devices)
         self.logger = RunLogger(cfg.log_dir, cfg.exp_name)
         self.rng = jax.random.PRNGKey(cfg.seed)

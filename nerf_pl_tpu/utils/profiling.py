@@ -41,6 +41,16 @@ def enable_nan_debugging(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
+def enable_compilation_cache(cache_dir: str = "~/.cache/nerf_pl_tpu_xla") -> None:
+    """Persistent XLA compilation cache: first compiles of the big epoch
+    programs take minutes (especially on remote-tunneled backends); cached
+    reloads across processes are near-instant."""
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
 def xla_dump(dump_dir: str) -> None:
     """Must be called before the first compilation to take effect."""
     flags = os.environ.get("XLA_FLAGS", "")
