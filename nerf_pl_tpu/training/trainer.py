@@ -183,7 +183,9 @@ class NeRFSystem:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        if cfg.compilation_cache:
+        if cfg.compilation_cache and jax.default_backend() == "tpu":
+            # TPU-only: the CPU backend (test mesh) aborts inside XLA with
+            # the persistent cache enabled, and CPU compiles are cheap anyway
             from ..utils.profiling import enable_compilation_cache
 
             enable_compilation_cache()
