@@ -33,6 +33,7 @@ from .mesh_utils import (
     bilinear_sample,
     keep_largest_cluster,
     marching_tetrahedra,
+    save_vol,
     write_ply,
 )
 
@@ -59,6 +60,12 @@ def get_opts(argv=None):
     parser.add_argument("--out_path", type=str, default=None)
     parser.add_argument("--blender_near", type=float, default=2.0)
     parser.add_argument("--blender_far", type=float, default=6.0)
+    parser.add_argument("--vol_path", type=str, default=None,
+                        help="also write the sigma grid as a .vol volume "
+                        "texture (Unity VolumeRender parity, "
+                        "reference README_Unity.md:22-28)")
+    parser.add_argument("--vol_only", action="store_true",
+                        help="stop after writing --vol_path (no mesh)")
     return parser.parse_args(argv)
 
 
@@ -140,6 +147,14 @@ def run(args) -> str:
     print("Predicting occupancy ...")
     sigma = query_sigma_grid(params["fine"], xyz, args.chunk)
     sigma_grid = np.maximum(sigma, 0).reshape(N, N, N)
+
+    if args.vol_path:
+        # meshgrid 'xy' gives (y, x, z) axes; store the .vol x-major
+        save_vol(args.vol_path, sigma_grid.transpose(1, 0, 2),
+                 args.x_range, args.y_range, args.z_range)
+        print(f"Wrote volume texture to {args.vol_path}")
+        if args.vol_only:
+            return args.vol_path
 
     # 2. iso-surface
     print("Extracting mesh ...")

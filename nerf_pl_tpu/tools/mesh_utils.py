@@ -294,3 +294,49 @@ def bilinear_sample(image: np.ndarray, x: np.ndarray, y: np.ndarray):
     top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
     bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
     return top * (1 - fy) + bot * fy
+
+
+_VOL_MAGIC = b"NVOL"
+
+
+def save_vol(path: str, sigma_grid: np.ndarray, x_range, y_range, z_range):
+    """Write a density grid as a ``.vol`` volume-texture file.
+
+    Capability parity with the reference's Unity VolumeRender export
+    (``README_Unity.md:22-28`` — its notebook cell "Generate .vol file for
+    volume rendering in Unity" is a missing large blob upstream, and its
+    binary layout lives in an external Unity plugin, so this framework
+    defines a self-describing little-endian layout instead):
+
+      bytes 0-3   magic ``NVOL``
+      int32       version (1)
+      int32 ×3    nx, ny, nz
+      float32 ×6  x_min, x_max, y_min, y_max, z_min, z_max (world bounds)
+      float32     sigma_max (the value a payload byte of 255 maps back to)
+      uint8 ×nxyz densities, ``round(255 * clip(sigma, 0, sigma_max) /
+                  sigma_max)``, x-major / z-fastest — directly loadable
+                  into a Texture3D R8 channel.
+
+    Args:
+      sigma_grid: (nx, ny, nz) non-negative densities, x/y/z index order.
+    """
+    grid = np.maximum(np.asarray(sigma_grid, np.float32), 0.0)
+    sigma_max = float(grid.max()) or 1.0
+    payload = np.round(255.0 * grid / sigma_max).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(_VOL_MAGIC)
+        np.array([1, *grid.shape], np.int32).tofile(f)
+        np.array([*x_range, *y_range, *z_range, sigma_max], np.float32).tofile(f)
+        payload.tofile(f)
+
+
+def read_vol(path: str):
+    """Read a ``save_vol`` file back -> (sigma_grid f32, (xr, yr, zr))."""
+    with open(path, "rb") as f:
+        assert f.read(4) == _VOL_MAGIC, "not a NVOL file"
+        version, nx, ny, nz = np.fromfile(f, np.int32, 4)
+        assert version == 1, version
+        meta = np.fromfile(f, np.float32, 7)
+        payload = np.fromfile(f, np.uint8, nx * ny * nz)
+    grid = payload.reshape(nx, ny, nz).astype(np.float32) * meta[6] / 255.0
+    return grid, (meta[0:2], meta[2:4], meta[4:6])

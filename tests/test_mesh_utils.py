@@ -69,3 +69,26 @@ def test_bilinear_sample_exact():
     img = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
     out = bilinear_sample(img, np.array([0.5, 1.0, 3.0]), np.array([0.5, 2.0, 2.0]))
     np.testing.assert_allclose(out.ravel(), [2.5, 9.0, 11.0])
+
+
+def test_vol_roundtrip(tmp_path):
+    from nerf_pl_tpu.tools.mesh_utils import read_vol, save_vol
+
+    rng = np.random.default_rng(0)
+    grid = rng.uniform(0, 37.0, size=(8, 6, 10)).astype(np.float32)
+    path = str(tmp_path / "scene.vol")
+    save_vol(path, grid, (-1.0, 1.0), (-0.5, 0.5), (0.0, 2.0))
+    back, (xr, yr, zr) = read_vol(path)
+    assert back.shape == grid.shape
+    # uint8 quantization: within half a step of sigma_max/255
+    assert np.abs(back - grid).max() <= grid.max() / 255.0 * 0.5 + 1e-6
+    assert tuple(xr) == (-1.0, 1.0) and tuple(zr) == (0.0, 2.0)
+
+
+def test_vol_all_zero(tmp_path):
+    from nerf_pl_tpu.tools.mesh_utils import read_vol, save_vol
+
+    path = str(tmp_path / "zero.vol")
+    save_vol(path, np.zeros((4, 4, 4), np.float32), (0, 1), (0, 1), (0, 1))
+    back, _ = read_vol(path)
+    assert (back == 0).all()

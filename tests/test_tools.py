@@ -148,3 +148,23 @@ def test_save_weights_only(trained_ckpt, tmp_path):
     # "portable scene": coarse+fine weights ~5 MB
     assert os.path.getsize(out) < 8 * 1024 * 1024
     assert os.path.getsize(out) < os.path.getsize(trained_ckpt)
+
+
+def test_extract_mesh_vol_export(blender_root, mesh_ckpt, tmp_path):
+    from nerf_pl_tpu.tools.extract_mesh import get_opts, run
+    from nerf_pl_tpu.tools.mesh_utils import read_vol
+
+    vol = str(tmp_path / "scene.vol")
+    args = get_opts(
+        [
+            "--root_dir", blender_root, "--dataset_name", "blender",
+            "--img_wh", "16", "16", "--N_samples", "8", "--chunk", "512",
+            "--ckpt_path", mesh_ckpt, "--N_grid", "16",
+            "--vol_path", vol, "--vol_only",
+        ]
+    )
+    assert run(args) == vol
+    grid, (xr, yr, zr) = read_vol(vol)
+    assert grid.shape == (16, 16, 16)
+    assert grid.max() > 0  # trained model has density somewhere
+    assert tuple(xr) == (-1.0, 1.0)
