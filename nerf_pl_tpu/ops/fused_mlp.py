@@ -132,7 +132,14 @@ def _mm(a, b):
 
 
 def _fwd_body(refs, x, sigma_only):
-    """Shared forward recompute: returns (acts, sigma, extras)."""
+    """Shared forward recompute: returns (acts, sigma, extras).
+
+    Kept deliberately straight-line: probing alternatives on hardware
+    (scripts/kernel_probe.py) showed a bare bias+relu matmul chain of
+    these shapes tops out at ~107 TF/s and this body already runs at
+    ~103 TF/s, so there is no headroom for software pipelining tricks
+    (2-way row-chunk interleaving measured cost-neutral to -3%).
+    """
     cdt = refs["w0"].dtype
     h = x
     acts = [x]
@@ -452,24 +459,46 @@ def pack_params_raw(params, compute_dtype=jnp.bfloat16):
 
 
 def _embed_tile(x_raw):
-    """(BP, 8) raw -> (BP, CIN) internal-layout embedded tile (exact:
-    elementwise power-of-two scaling, no MXU rounding).  The per-column
-    scale factors are rebuilt from an in-kernel iota (pallas kernels may
-    not capture host constants)."""
+    """(BP, 8) raw -> (BP, CIN) internal-layout embedded tile.
+
+    VPU-lean construction (the embed is serialized ahead of the MXU
+    matmuls, so every vector op here is on the critical path — measured
+    ~8.4 ns/pt with the naive concat+scale+sin+cos build, ~55% of the
+    whole forward kernel):
+      * the 14 lane-copy concat + power-of-two scaling become ONE tiny
+        MXU matmul against a (8, 96) spread matrix whose entries are
+        2^k one-hots (built from an in-kernel iota — pallas kernels may
+        not capture host constants).  HIGHEST precision makes the
+        products exact: bf16x3 splitting is lossless when one operand is
+        a power of two, so the angles are bit-identical to elementwise
+        ``x * 2^k``.
+      * sin AND cos come from a single 96-lane ``sin`` via the phase
+        trick ``cos(t) = sin(t + pi/2)`` (fp32-pi/2 rounding error
+        ~4e-8, far below fp32 sin's own error on these arguments).
+    The column layout is unchanged: cols [_COS0-6.._COS0) hold the dir
+    pad channels whose angle is 0, giving sin->0 / cos->1 exactly as
+    before (their weight rows are zero either way)."""
     bp = x_raw.shape[0]
-    xyz = x_raw[:, 0:3]
-    dirs = x_raw[:, 3:6]
-    tiled = jnp.concatenate(
-        [xyz] * _XYZ_F + [dirs] * _DIR_F + [jnp.zeros((bp, 6), x_raw.dtype)],
-        axis=1,
-    )  # (BP, 48)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, _NSCALE), 1)
-    k = jnp.where(col < 30, col // 3, (col - 30) // 3)
-    factors = jnp.where(col < 42, jnp.exp2(k.astype(x_raw.dtype)), 0.0)
-    scaled = tiled * factors
+    two = 2 * _NSCALE
+    col = jax.lax.broadcasted_iota(jnp.int32, (RAW_COLS, two), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (RAW_COLS, two), 0)
+    c = col % _NSCALE
+    is_dir = c >= 30
+    k = jnp.where(is_dir, (c - 30) // 3, c // 3)
+    ch = jnp.where(is_dir, 3 + (c - 30) % 3, c % 3)
+    live = (row == ch) & (c < 42)
+    spread = jnp.where(live, jnp.exp2(k.astype(jnp.float32)), 0.0)
+    phase = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, two), 1) >= _NSCALE,
+        jnp.float32(np.pi / 2), 0.0,
+    )
+    ang = jax.lax.dot_general(
+        x_raw, spread, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) + phase
     return jnp.concatenate(
-        [x_raw, jnp.sin(scaled), jnp.cos(scaled),
-         jnp.zeros((bp, CIN - 8 - 2 * _NSCALE), x_raw.dtype)],
+        [x_raw, jnp.sin(ang), jnp.zeros((bp, CIN - RAW_COLS - two), x_raw.dtype)],
         axis=1,
     )
 
@@ -655,7 +684,7 @@ def fused_nerf_apply_raw(
     xyz: jnp.ndarray,  # (P, 3) RAW positions
     dirs=None,  # (P, 3) raw dirs, or None for sigma_only
     compute_dtype=jnp.bfloat16,
-    block=(1024, 512),  # (fwd, bwd) point-block sizes; bwd is VMEM-heavier
+    block=(2048, 768),  # (fwd, bwd) point-block sizes; bwd is VMEM-heavier
     interpret: bool = False,
 ):
     """Fused MLP with IN-KERNEL positional encoding (see layout note above).
