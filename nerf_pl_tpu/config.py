@@ -84,6 +84,7 @@ class Config:
     log_dir: str = "logs"
     val_every_n_epochs: int = 1
     num_devices: Optional[int] = None  # None -> all local devices
+    multihost: bool = False  # call jax.distributed.initialize() at startup
     data_device_resident: bool = True  # keep the ray buffer in HBM
     remat_fine: bool = False  # jax.checkpoint on the fine pass
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
@@ -166,6 +167,9 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ckpt_dir", type=str, default=d.ckpt_dir)
     parser.add_argument("--log_dir", type=str, default=d.log_dir)
     parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host pod slice: jax.distributed."
+                        "initialize() before building the device mesh")
     parser.add_argument("--remat_fine", action="store_true")
     parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() == "true",
                         default=d.use_fused_mlp)

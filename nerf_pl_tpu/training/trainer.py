@@ -183,6 +183,12 @@ class NeRFSystem:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        if cfg.multihost:
+            # one process per host; the mesh below then spans every chip of
+            # the slice (the reference's Lightning-DDP analogue, train.py:174)
+            from ..parallel.mesh import initialize_distributed
+
+            initialize_distributed()
         if cfg.compilation_cache and jax.default_backend() == "tpu":
             # TPU-only: the CPU backend (test mesh) aborts inside XLA with
             # the persistent cache enabled, and CPU compiles are cheap anyway

@@ -62,3 +62,17 @@ def test_validation_metrics_finite(fitted):
     system, cfg, tmp = fitted
     m = system.validation(epoch=99, max_images=1)
     assert np.isfinite(m["val/loss"]) and np.isfinite(m["val/psnr"])
+
+
+def test_multihost_flag_single_process(blender_root, tmp_path):
+    """--multihost calls jax.distributed.initialize(), which must degrade to
+    a no-op in a single-process context (parallel/mesh.py)."""
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=4, N_importance=0, batch_size=8, num_epochs=1, chunk=256,
+        exp_name="mh", log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), num_sanity_val_steps=0,
+        multihost=True,
+    )
+    system = NeRFSystem(cfg)
+    assert system.mesh.devices.size >= 1
