@@ -46,6 +46,7 @@ def _query(
     sigma_only: bool,
     compute_dtype,
     use_fused: bool = False,
+    dir_freqs: int = 4,
 ):
     """Embed positions and run the MLP on the flattened point batch.
 
@@ -56,7 +57,9 @@ def _query(
     """
     N_rays, S, _ = xyz.shape
     xyz_flat = xyz.reshape(-1, 3)
-    fused = use_fused and supports_fused(params)
+    # the fused kernel hardcodes the reference embedding (10 xyz / 4 dir)
+    fused = (use_fused and supports_fused(params)
+             and xyz_freqs == 10 and dir_freqs == 4)
     if sigma_only:
         if fused:
             out = fused_nerf_apply_raw(
@@ -77,7 +80,7 @@ def _query(
         )
     else:
         # embed per ray THEN broadcast (256x fewer transcendentals)
-        dir_emb = posenc(dirs, 4)
+        dir_emb = posenc(dirs, dir_freqs)
         dir_emb = jnp.broadcast_to(
             dir_emb[:, None, :], (N_rays, S, dir_emb.shape[-1])
         ).reshape(N_rays * S, -1)
@@ -105,6 +108,7 @@ def render_rays(
     dir_freqs: int = 4,
     compute_dtype=jnp.float32,
     use_fused: bool = False,
+    remat_fine: bool = False,
     overrides: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Results:
     """Render a batch of rays coarse(+fine). See module docstring for modes."""
@@ -138,7 +142,7 @@ def render_rays(
     coarse_sigma_only = sigma_mode or test_time
     sigmas_c, rgbs_c = _query(
         params_coarse, xyz_coarse, dirs_for_query, xyz_freqs,
-        coarse_sigma_only, compute_dtype, use_fused,
+        coarse_sigma_only, compute_dtype, use_fused, dir_freqs,
     )
     weights_coarse = compute_weights(
         sigmas_c, z_vals, rays_d, noise_std, key=k_noise_c,
@@ -174,10 +178,15 @@ def render_rays(
         z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
 
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-        sigmas_f, rgbs_f = _query(
-            params_fine, xyz_fine, dirs_for_query, xyz_freqs, sigma_mode,
-            compute_dtype, use_fused,
+        fine_query = lambda p, x, d: _query(  # noqa: E731 — closure for remat
+            p, x, d, xyz_freqs, sigma_mode, compute_dtype, use_fused,
+            dir_freqs,
         )
+        if remat_fine:
+            # trade FLOPs for HBM: recompute the fine MLP activations in the
+            # backward pass instead of storing (N_rays, S, 4) intermediates
+            fine_query = jax.checkpoint(fine_query)
+        sigmas_f, rgbs_f = fine_query(params_fine, xyz_fine, dirs_for_query)
         weights_fine = compute_weights(
             sigmas_f, z_all, rays_d, noise_std, key=k_noise_f,
             noise=ov.get("noise_fine"),

@@ -98,7 +98,10 @@ def sample_pdf(
             u = jax.random.uniform(ku, (N_rays, N_importance), dtype=weights.dtype)
 
     inds = searchsorted(cdf, u, side="right").astype(weights.dtype) - 1.0
-    inds = jnp.maximum(inds, 0.0)
+    # clamp both ends: u=1.0 (the det-linspace endpoint) lands past the last
+    # cdf entry and would otherwise yield z_steps > 1, i.e. a sample beyond
+    # ``far`` (outside the frustum; past z=1 for NDC rays)
+    inds = jnp.clip(inds, 0.0, N_samples_ - 1.0)
 
     if det:
         offset = 0.5

@@ -241,7 +241,11 @@ class EfficientSMSystem(_ShadowSystemBase):
                 key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
                 kup, kstep = jax.random.split(key)
                 light_depths = jax.lax.cond(
-                    gstep % k_update == 0,
+                    # i == 0: the cache buffer is zeroed at each epoch start,
+                    # so always refresh on the first step — otherwise epochs
+                    # whose step0 is not a k_update multiple would train
+                    # early steps against an all-zero light depth map
+                    (gstep % k_update == 0) | (i == 0),
                     lambda p: jax.lax.stop_gradient(
                         _light_cache_render(
                             p, tables["light_rays"], kup, rkw_light
@@ -459,12 +463,15 @@ class RGBSMSystem(EfficientSMSystem):
         mesh = self.mesh
         optimizer = self.optimizer
         B = cfg.batch_size
+        from .trainer import use_fused_for_backend
+
         rkw_cam = dict(
             N_samples=cfg.N_samples, use_disp=cfg.use_disp,
             perturb=cfg.perturb, noise_std=cfg.noise_std,
             N_importance=cfg.N_importance, mode="rgb_disp",
             white_back=self.white_back,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
+            use_fused=use_fused_for_backend(cfg),
         )
         rkw_light = _sigma_render_kwargs(cfg, light_n)
         fine = cfg.N_importance > 0
@@ -514,7 +521,11 @@ class RGBSMSystem(EfficientSMSystem):
                 key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
                 kup, kstep = jax.random.split(key)
                 light_depths = jax.lax.cond(
-                    gstep % k_update == 0,
+                    # i == 0: the cache buffer is zeroed at each epoch start,
+                    # so always refresh on the first step — otherwise epochs
+                    # whose step0 is not a k_update multiple would train
+                    # early steps against an all-zero light depth map
+                    (gstep % k_update == 0) | (i == 0),
                     lambda p: jax.lax.stop_gradient(
                         _light_cache_render(
                             p, tables["light_rays"], kup, rkw_light
@@ -606,12 +617,15 @@ class RGBSMSystem(EfficientSMSystem):
 
     def validation(self, epoch: int, max_images=None):
         cfg = self.cfg
+        from .trainer import use_fused_for_backend
+
         rkw = dict(
             N_samples=cfg.N_samples, use_disp=cfg.use_disp,
             perturb=cfg.perturb, noise_std=cfg.noise_std,
             N_importance=cfg.N_importance, mode="rgb_disp",
             white_back=self.white_back,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
+            use_fused=use_fused_for_backend(cfg),
         )
         rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance)
         n_img = len(self.val_dataset)

@@ -65,6 +65,7 @@ def render_kwargs_from_cfg(cfg: Config, white_back: bool, train: bool) -> dict:
         white_back=white_back,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         use_fused=use_fused_for_backend(cfg),
+        remat_fine=cfg.remat_fine if train else False,
     )
 
 
@@ -96,16 +97,19 @@ def make_epoch_fn(
         dev = jax.lax.axis_index("rays")
         n_loc = rays.shape[0]
         steps = n_loc // B
-        perm = jax.random.permutation(
-            jax.random.fold_in(epoch_key, dev), n_loc
-        )
+        # disjoint per-purpose streams: folding a purpose tag BEFORE the
+        # device index keeps device d's step keys independent of device
+        # d+1's shuffle key (fold_in(k, d+1) would collide otherwise)
+        perm_key = jax.random.fold_in(jax.random.fold_in(epoch_key, 0), dev)
+        step_base = jax.random.fold_in(jax.random.fold_in(epoch_key, 1), dev)
+        perm = jax.random.permutation(perm_key, n_loc)
 
         def body(carry, i):
             params, opt_state = carry
             idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
             rb = rays[idx]
             cb = rgbs[idx]
-            key = jax.random.fold_in(jax.random.fold_in(epoch_key, 1 + dev), i)
+            key = jax.random.fold_in(step_base, i)
             (loss, psnr), grads = jax.value_and_grad(
                 loss_and_metrics, has_aux=True
             )(params, rb, cb, key)
@@ -183,6 +187,9 @@ class NeRFSystem:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        # reference train.py:32 / train_shadows.py:36 select the loss via
+        # --loss_type; subclasses with bespoke loss pipelines ignore this
+        self.loss_name = cfg.loss_type
         if cfg.multihost:
             # one process per host; the mesh below then spans every chip of
             # the slice (the reference's Lightning-DDP analogue, train.py:174)
@@ -374,9 +381,15 @@ class NeRFSystem:
         return {"val/loss": float(np.mean(losses)), "val/psnr": float(np.mean(psnrs))}
 
     # -- checkpointing ------------------------------------------------------
-    def save_ckpt(self, epoch: int, val_loss: float):
+    def save_ckpt(self, epoch: int, val_loss: Optional[float],
+                  filename: Optional[str] = None):
+        """Write a resumable checkpoint. ``val_loss=None`` (the preemption
+        path) writes to its own file and is exempt from top-5 pruning —
+        tracking it with an inf loss would delete it immediately (and could
+        remove a validated checkpoint sharing the epoch=N path)."""
         os.makedirs(self.ckpt_root, exist_ok=True)
-        path = os.path.join(self.ckpt_root, f"epoch={epoch}.ckpt")
+        name = filename or f"epoch={epoch}.ckpt"
+        path = os.path.join(self.ckpt_root, name)
         checkpoints.save_checkpoint(
             path,
             {
@@ -385,6 +398,8 @@ class NeRFSystem:
                 "epoch": epoch,
             },
         )
+        if val_loss is None:
+            return
         self._topk.append((val_loss, path))
         self._topk.sort(key=lambda t: t[0])
         while len(self._topk) > 5:
@@ -401,7 +416,8 @@ class NeRFSystem:
 
         self._last_epoch = self.epoch0
         install_preemption_handler(
-            lambda: self.save_ckpt(self._last_epoch, float("inf"))
+            lambda: self.save_ckpt(self._last_epoch, None,
+                                   filename="preempt.ckpt")
         )
         if cfg.debug_nans:
             from ..utils.profiling import enable_nan_debugging

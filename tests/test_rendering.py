@@ -120,3 +120,53 @@ def test_white_back_background_is_white(setup):
                     perturb=0.0, noise_std=0.0, white_back=True)
     rgb = np.asarray(r["rgb_coarse"])
     assert (rgb > 0.9).all()
+
+
+def test_remat_fine_matches_plain():
+    """--remat_fine must be numerically transparent (same fwd and grads)."""
+    import jax
+
+    from nerf_pl_tpu.models.nerf import init_nerf
+    from nerf_pl_tpu.ops.rendering import render_rays
+
+    key = jax.random.PRNGKey(0)
+    params = {"coarse": init_nerf(key), "fine": init_nerf(jax.random.fold_in(key, 1))}
+    rays = jnp.concatenate(
+        [jax.random.normal(jax.random.fold_in(key, 2), (8, 6)),
+         jnp.full((8, 1), 2.0), jnp.full((8, 1), 6.0)], axis=1
+    )
+
+    def loss(p, remat):
+        out = render_rays(
+            p["coarse"], p["fine"], rays, jax.random.PRNGKey(7),
+            N_samples=8, N_importance=8, perturb=1.0, noise_std=1.0,
+            remat_fine=remat,
+        )
+        return jnp.mean(out["rgb_fine"] ** 2) + jnp.mean(out["rgb_coarse"] ** 2)
+
+    (l0, g0) = jax.value_and_grad(lambda p: loss(p, False))(params)
+    (l1, g1) = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert np.allclose(l0, l1, rtol=1e-6)
+    a = jax.flatten_util.ravel_pytree(g0)[0]
+    b = jax.flatten_util.ravel_pytree(g1)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_dir_freqs_is_respected():
+    """Regression: render_rays silently ignored non-default dir_freqs."""
+    import jax
+
+    from nerf_pl_tpu.models.nerf import init_nerf
+    from nerf_pl_tpu.ops.rendering import render_rays
+
+    key = jax.random.PRNGKey(0)
+    params = init_nerf(key, in_channels_dir=3 + 2 * 6 * 3)  # 6 dir freqs
+    rays = jnp.concatenate(
+        [jax.random.normal(jax.random.fold_in(key, 2), (4, 6)),
+         jnp.full((4, 1), 2.0), jnp.full((4, 1), 6.0)], axis=1
+    )
+    out = render_rays(
+        params, None, rays, None, N_samples=8, N_importance=0,
+        perturb=0.0, noise_std=0.0, dir_freqs=6,
+    )
+    assert out["rgb_coarse"].shape == (4, 3)

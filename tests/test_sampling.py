@@ -156,3 +156,21 @@ def test_sample_pdf_bins_importance_concentration():
     lo, hi = bins[0, 10], bins[0, 11]
     frac = ((z >= lo) & (z <= hi)).mean()
     assert frac > 0.9
+
+
+def test_sample_pdf_det_stays_within_near_far():
+    """Regression: the det-linspace endpoint u=1.0 must not index past the
+    cdf and produce a fine sample beyond ``far`` (outside the frustum)."""
+    import jax.numpy as jnp
+
+    from nerf_pl_tpu.ops.sampling import sample_pdf
+
+    n_rays, n_s = 4, 8
+    rays = jnp.concatenate(
+        [jnp.zeros((n_rays, 6)), jnp.full((n_rays, 1), 2.0),
+         jnp.full((n_rays, 1), 6.0)], axis=1
+    )
+    weights = jnp.ones((n_rays, n_s))
+    z = sample_pdf(rays, weights, 16, det=True)
+    assert float(z.max()) <= 6.0 + 1e-6
+    assert float(z.min()) >= 2.0 - 1e-6

@@ -103,3 +103,21 @@ def test_shadows_system_trains(shadow_root, tmp_path):
     )
     system = ShadowsSystem(cfg)
     system.fit()
+
+
+def test_efficient_sm_stale_cache_interval(shadow_root, tmp_path):
+    """Regression: with sample_light_depth_every > 1 the light-depth cache
+    must be refreshed at the start of every epoch (the per-epoch buffer
+    starts zeroed; epochs whose step0 is not a multiple of the interval
+    previously trained early steps against an all-zero cache)."""
+    import json
+
+    from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
+
+    cfg = _cfg(shadow_root, tmp_path, sample_light_depth_every=5,
+               num_epochs=2)
+    system = EfficientSMSystem(cfg)
+    system.fit()
+    recs = [json.loads(l) for l in open(f"{system.logger.dir}/metrics.jsonl")]
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert len(losses) == 2 and all(np.isfinite(losses))

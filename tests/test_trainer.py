@@ -76,3 +76,31 @@ def test_multihost_flag_single_process(blender_root, tmp_path):
     )
     system = NeRFSystem(cfg)
     assert system.mesh.devices.size >= 1
+
+
+def test_loss_type_flag_is_honored(blender_root, tmp_path):
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=4, N_importance=0, batch_size=8, num_epochs=1, chunk=256,
+        exp_name="lt", log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), num_sanity_val_steps=0,
+        loss_type="mse",
+    )
+    assert NeRFSystem(cfg).loss_name == "mse"
+
+
+def test_preemption_ckpt_survives_topk_pruning(fitted, tmp_path):
+    import os
+
+    system, cfg, tmp = fitted
+    # fill the top-5 list so any tracked save would be prune-eligible
+    for i in range(5):
+        system.save_ckpt(100 + i, float(i))
+    system.save_ckpt(999, None, filename="preempt.ckpt")
+    path = os.path.join(system.ckpt_root, "preempt.ckpt")
+    assert os.path.exists(path), "preemption checkpoint was pruned"
+    # and it is loadable
+    from nerf_pl_tpu.training import checkpoints
+
+    state = checkpoints.load_checkpoint(path)
+    assert state["epoch"] == 999
