@@ -79,6 +79,8 @@ def bench(batch=4096, iters=50, compute_dtype=jnp.float32):
 
 
 def main():
+    import sys
+
     # one config keeps total driver time bounded (each compile is minutes on
     # remote-tunneled backends); f32 fallback only if bf16 compilation fails
     best = 0.0
@@ -87,8 +89,9 @@ def main():
             best = bench(batch=4096, iters=20, compute_dtype=dtype)
             break
         except Exception as e:  # noqa: BLE001 — report what we can
-            print(f"# bench({dtype.__name__}) failed: "
-                  f"{type(e).__name__}: {str(e)[:200]}")
+            # diagnostics go to stderr: stdout is contractually ONE json line
+            print(f"bench({dtype.__name__}) failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -99,6 +102,8 @@ def main():
             }
         )
     )
+    if best == 0.0:
+        sys.exit(1)  # zero throughput is a failure, not a measurement
 
 
 if __name__ == "__main__":

@@ -102,21 +102,30 @@ struct RayStore {
   }
 
   // Ensure perm_cur holds `epoch`'s permutation; kick off epoch+1 prefetch.
+  // Every exit path invalidates epoch_next/next_ready: a delivered-but-
+  // unconsumed prefetch must never survive a non-monotonic epoch access,
+  // and a wait must only accept a delivery tagged with the epoch it wants
+  // (the worker may still be computing a previously requested epoch).
   void ensure_epoch(int64_t epoch) {
     std::unique_lock<std::mutex> lk(mu);
     if (epoch_cur == epoch) return;
-    if (epoch_next == epoch) {
-      cv.wait(lk, [&] { return next_ready || stop; });
+    if (next_ready && epoch_next == epoch) {
+      perm_cur.swap(perm_next);  // prefetch already delivered
+    } else if (requested_epoch == epoch || epoch_next == epoch) {
+      // our epoch is in flight: wait for ITS delivery specifically
+      cv.wait(lk, [&] { return stop || (next_ready && epoch_next == epoch); });
+      if (stop) return;
       perm_cur.swap(perm_next);
-      epoch_cur = epoch;
-      next_ready = false;
     } else {
       lk.unlock();
-      shuffle_into(&perm_cur, epoch);
+      std::vector<uint32_t> p;
+      shuffle_into(&p, epoch);
       lk.lock();
-      epoch_cur = epoch;
-      next_ready = false;
+      perm_cur.swap(p);
     }
+    epoch_cur = epoch;
+    next_ready = false;
+    epoch_next = -1;  // discard any stale prefetch delivery
     requested_epoch = epoch + 1;  // prefetch the next epoch's shuffle
     cv.notify_all();
   }

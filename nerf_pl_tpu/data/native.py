@@ -149,7 +149,8 @@ class RayStore:
                 self.threads,
             )
         else:
-            n = min(batch, self.n_rows - start)
+            # clamp like the native path: start past the end returns empty
+            n = max(0, min(batch, self.n_rows - start))
             out[:n] = self._data[start : start + n]
         return out[:n]
 

@@ -55,6 +55,22 @@ def _render_image_jit(params, rays, key, chunk, render_kwargs_tuple, mesh):
     return {k: v.reshape(-1, *v.shape[2:]) for k, v in out.items()}
 
 
+def plan_chunks(n: int, chunk: int, d: int):
+    """Chunk/padding plan for n rays over d devices -> (chunk, n_chunks,
+    n_pad), where n_chunks divides d and n_chunks*chunk >= n.
+
+    Never renders (much) more padding than rays: the chunk is capped at one
+    device's share of the image.  (A d*256 floor here once inflated a
+    64-ray val image on 8 devices to 16k padded rays — 256x wasted compute,
+    enough to trip XLA:CPU's 40 s collective-rendezvous watchdog on an
+    oversubscribed host and abort the process mid-validation.)
+    """
+    chunk = min(chunk, max(8, -(-n // d)))
+    n_chunks = -(-n // chunk)
+    n_chunks = -(-n_chunks // d) * d
+    return chunk, n_chunks, n_chunks * chunk - n
+
+
 def render_image(
     params: Dict[str, Any],
     rays: jnp.ndarray,  # (N, 8)
@@ -66,11 +82,7 @@ def render_image(
     """Render N rays with bounded memory; returns the render_rays dict."""
     n = rays.shape[0]
     d = 1 if mesh is None else mesh.devices.size
-    chunk = min(chunk, max(d * 256, (n + d - 1) // d))
-    # pad so chunks divide evenly AND chunks divide across devices
-    n_chunks = -(-n // chunk)
-    n_chunks = -(-n_chunks // d) * d
-    n_pad = n_chunks * chunk - n
+    chunk, n_chunks, n_pad = plan_chunks(n, chunk, d)
     if n_pad:
         rays = jnp.concatenate([rays, jnp.broadcast_to(rays[-1:], (n_pad, rays.shape[-1]))])
     out = _render_image_jit(

@@ -52,6 +52,18 @@ class RenderService:
         )
         self._lock = threading.Lock()
         self.renders = 0
+        # request-supplied sizes recompile the jitted path (minutes on a
+        # remote-tunneled TPU) while holding the device lock; only sizes
+        # warmed at startup are accepted
+        self.allowed_wh = {img_wh}
+
+    def warm(self):
+        """Compile the render path for every allowed size before serving
+        (the docstring's 'warm, jit-compiled render path' promise — without
+        this the first request per size eats the full XLA compile)."""
+        for wh in sorted(self.allowed_wh):
+            self.render([0.0, 0.5, 4.0], wh=wh)
+        self.renders = 0
 
     def _rays_for(self, eye, look_at, wh):
         from ..models.camera import c2w_from_lookat
@@ -71,6 +83,12 @@ class RenderService:
         from .render import render_image
 
         wh = wh or self.img_wh
+        if wh not in self.allowed_wh:
+            raise ValueError(
+                f"img_wh {wh} not warmed at startup (allowed: "
+                f"{sorted(self.allowed_wh)}) — each new size would compile "
+                f"a fresh device program while blocking all requests"
+            )
         rays = self._rays_for(eye, look_at, wh)
         with self._lock:  # one chip, one request at a time on-device
             out = render_image(
@@ -131,6 +149,9 @@ def make_handler(service: RenderService):
                 ]
                 try:
                     img = service.render(eye, wh=wh)
+                except ValueError as e:
+                    self._send(400, str(e).encode(), "text/plain")
+                    return
                 except Exception as e:  # noqa: BLE001
                     self._send(500, str(e).encode(), "text/plain")
                     return
@@ -155,6 +176,9 @@ def make_handler(service: RenderService):
                 return
             try:
                 img = service.render(eye, look_at, wh)
+            except ValueError as e:
+                self._send(400, str(e).encode(), "text/plain")
+                return
             except Exception as e:  # noqa: BLE001
                 self._send(500, str(e).encode(), "text/plain")
                 return
@@ -169,6 +193,8 @@ def get_opts(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--img_wh", type=int, default=64)
+    ap.add_argument("--extra_img_wh", type=int, nargs="*", default=None,
+                    help="additional request sizes to warm-compile and allow")
     ap.add_argument("--N_samples", type=int, default=64)
     ap.add_argument("--N_importance", type=int, default=64)
     ap.add_argument("--near", type=float, default=2.0)
@@ -179,11 +205,14 @@ def get_opts(argv=None):
     return ap.parse_args(argv)
 
 
-def build_server(args) -> ThreadingHTTPServer:
+def build_server(args, warm: bool = True) -> ThreadingHTTPServer:
     service = RenderService(
         args.ckpt_path, args.img_wh, args.N_samples, args.N_importance,
         args.near, args.far, args.camera_angle_x, args.white_back,
     )
+    service.allowed_wh.update(args.extra_img_wh or [])
+    if warm:
+        service.warm()
     return ThreadingHTTPServer(
         (args.host, args.port), make_handler(service)
     )

@@ -84,3 +84,27 @@ def test_streaming_training_mode(blender_root, tmp_path):
     ]
     losses = [r["train/loss"] for r in recs if "train/loss" in r]
     assert len(losses) == 2 and np.isfinite(losses).all()
+
+
+def test_nonmonotonic_epoch_access_is_deterministic(store):
+    """Regression: a prefetch delivered for epoch e+1 but never consumed
+    (because the caller jumped to an unrelated epoch) must not be handed
+    out later under the wrong epoch label."""
+    import time
+
+    rs, rays, rgbs = store
+    fresh = lambda: RayStore([rays, rgbs], seed=42)
+    rs.epoch_perm(0)
+    time.sleep(0.2)  # let the background prefetch of epoch 1 land
+    p5 = rs.epoch_perm(5)  # discards the delivered epoch-1 prefetch
+    p1 = rs.epoch_perm(1)  # must be epoch 1's perm, not epoch 6's
+    np.testing.assert_array_equal(p1, fresh().epoch_perm(1))
+    np.testing.assert_array_equal(p5, fresh().epoch_perm(5))
+
+
+def test_fill_sequential_past_end_fallback(store):
+    rs, rays, rgbs = store
+    fb = RayStore([rays, rgbs], seed=1, force_fallback=True)
+    for s in (fb, rs):
+        rows = s.fill_sequential(s.n_rows + 2, 4)
+        assert rows.shape == (0, s.row_width)

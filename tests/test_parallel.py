@@ -99,3 +99,25 @@ def test_render_image_sharded_matches_single():
     for k in single:
         np.testing.assert_allclose(np.asarray(single[k]), np.asarray(multi[k]),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_plan_chunks_economy():
+    """Regression: a huge default --chunk on a tiny image must not inflate
+    the padded render (256x waste once aborted 8-device CPU validation via
+    the XLA collective-rendezvous watchdog)."""
+    from nerf_pl_tpu.tools.render import plan_chunks
+
+    # tiny 8x8 val image, default eval chunk, 8 devices
+    chunk, n_chunks, n_pad = plan_chunks(64, 32 * 1024, 8)
+    total = n_chunks * chunk
+    assert n_chunks % 8 == 0
+    assert total >= 64
+    assert total <= 8 * 8  # exactly one device-share chunk each, no bloat
+    # large image: chunk stays at the requested bound
+    chunk, n_chunks, n_pad = plan_chunks(800 * 800, 32 * 1024, 8)
+    assert chunk == 32 * 1024
+    assert n_chunks % 8 == 0 and n_chunks * chunk >= 800 * 800
+    assert n_pad < 8 * chunk
+    # single device, non-divisible
+    chunk, n_chunks, n_pad = plan_chunks(100, 32, 1)
+    assert chunk == 32 and n_chunks == 4 and n_pad == 28

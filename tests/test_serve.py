@@ -76,3 +76,14 @@ def test_bad_request_and_404(server):
     with pytest.raises(urllib.error.HTTPError) as e2:
         urllib.request.urlopen(f"{server}/nope", timeout=60)
     assert e2.value.code == 404
+
+
+def test_unwarmed_img_wh_rejected_fast(server):
+    """A request-supplied size that wasn't warm-compiled at startup must be
+    rejected with 400, not compile a fresh program under the device lock."""
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{server}/render?img_wh=33", timeout=60)
+    assert ei.value.code == 400
+    assert b"not warmed" in ei.value.read()

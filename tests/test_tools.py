@@ -168,3 +168,23 @@ def test_extract_mesh_vol_export(blender_root, mesh_ckpt, tmp_path):
     assert grid.shape == (16, 16, 16)
     assert grid.max() > 0  # trained model has density somewhere
     assert tuple(xr) == (-1.0, 1.0)
+
+
+def test_save_weights_only_never_overwrites_input(trained_ckpt, tmp_path):
+    """Regression: an input path without '.ckpt' made the derived output
+    path equal the input, silently destroying the full checkpoint."""
+    import shutil
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "last")  # no .ckpt extension
+    shutil.copy(trained_ckpt, src)
+    before = open(src, "rb").read()
+    r = subprocess.run(
+        [sys.executable, "save_weights_only.py", "--ckpt_path", src],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""},
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert open(src, "rb").read() == before, "input checkpoint was clobbered"
+    assert os.path.exists(str(tmp_path / "last_weights.ckpt"))

@@ -6,18 +6,12 @@ Example (Blender lego, reference recipe README.md:75-83):
         --optimizer adam --lr 5e-4 --lr_scheduler steplr \
         --decay_step 2 4 8 --decay_gamma 0.5 --exp_name exp
 """
-from nerf_pl_tpu.config import get_opts
+from nerf_pl_tpu.training.launch import launch
 from nerf_pl_tpu.training.trainer import NeRFSystem
 
 
 def main():
-    cfg = get_opts()
-    system = NeRFSystem(cfg)
-    import os
-
-    os.makedirs(os.path.join(cfg.log_dir, cfg.exp_name), exist_ok=True)
-    cfg.save(os.path.join(cfg.log_dir, cfg.exp_name, "config.json"))
-    system.fit()
+    launch(NeRFSystem)
 
 
 if __name__ == "__main__":

@@ -8,20 +8,12 @@ Example (reference launcher hparams, e.g. 64x64Statue_150.sh):
         --exp_name statue --grad_on_light --Light_N_importance 32 \
         --shadow_method shadow_method_2
 """
-import os
-
-from nerf_pl_tpu.config import get_opts
+from nerf_pl_tpu.training.launch import launch
 from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
 
 
 def main():
-    cfg = get_opts()
-    if cfg.dataset_name not in ("efficient_sm", "pyredner2"):
-        raise ValueError(f"{cfg.dataset_name} not allowed ")
-    system = EfficientSMSystem(cfg)
-    os.makedirs(os.path.join(cfg.log_dir, cfg.exp_name), exist_ok=True)
-    cfg.save(os.path.join(cfg.log_dir, cfg.exp_name, "config.json"))
-    system.fit()
+    launch(EfficientSMSystem, allowed_datasets=("efficient_sm", "pyredner2"))
 
 
 if __name__ == "__main__":
