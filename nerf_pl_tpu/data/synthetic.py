@@ -17,7 +17,14 @@ import numpy as np
 SPHERE_C = np.array([0.0, 0.2, 0.0], np.float32)
 SPHERE_R = 1.0
 GROUND_Y = -1.0
-LIGHT_POS = np.array([3.0, 5.0, 2.0], np.float32)
+# finite ground DISC, not an infinite plane: horizon rays on an infinite
+# plane hit geometry far outside any finite light frustum, whose clamped
+# light-map gathers make those pixels' shadow targets unmatchable by the
+# shadow-mapping pipeline (efficient_shadow_mapping.py:85-100 clamps).
+# Keeping all geometry inside the light frustum makes shadow training on
+# this scene well-posed end to end.
+GROUND_R = 3.5
+LIGHT_POS = np.array([4.5, 7.5, 3.0], np.float32)
 
 
 def look_at(eye, target=np.zeros(3, np.float32)):
@@ -43,7 +50,10 @@ def ray_sphere(o, d):
 
 def ray_ground(o, d):
     t = (GROUND_Y - o[:, 1]) / d[:, 1]
-    return np.where((np.abs(d[:, 1]) > 1e-6) & (t > 1e-3), t, np.inf)
+    valid = (np.abs(d[:, 1]) > 1e-6) & (t > 1e-3)
+    p = o + np.where(valid, t, 0.0)[:, None] * d
+    valid &= p[:, 0] ** 2 + p[:, 2] ** 2 <= GROUND_R**2
+    return np.where(valid, t, np.inf)
 
 
 def in_shadow(p):
