@@ -51,12 +51,15 @@ def _rank_kernel(seq_ref, val_ref, out_ref, *, M: int, right: bool):
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("side", "block_b"))
+@functools.partial(
+    jax.jit, static_argnames=("side", "block_b", "interpret")
+)
 def searchsorted_pallas(
     sorted_seq: jnp.ndarray,
     values: jnp.ndarray,
     side: str = "right",
     block_b: int = 256,
+    interpret: bool = False,
 ):
     B, M = sorted_seq.shape
     Bv, K = values.shape
@@ -77,6 +80,7 @@ def searchsorted_pallas(
             bytes_accessed=4 * B * (M + 2 * K),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(sorted_seq, values)
 
 

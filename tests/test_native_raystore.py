@@ -94,12 +94,17 @@ def test_nonmonotonic_epoch_access_is_deterministic(store):
 
     rs, rays, rgbs = store
     fresh = lambda: RayStore([rays, rgbs], seed=42)
-    rs.epoch_perm(0)
-    time.sleep(0.2)  # let the background prefetch of epoch 1 land
-    p5 = rs.epoch_perm(5)  # discards the delivered epoch-1 prefetch
-    p1 = rs.epoch_perm(1)  # must be epoch 1's perm, not epoch 6's
-    np.testing.assert_array_equal(p1, fresh().epoch_perm(1))
-    np.testing.assert_array_equal(p5, fresh().epoch_perm(5))
+    # several attempts with growing waits: the stale-prefetch state only
+    # exists once the background epoch-1 delivery has landed, and the
+    # determinism assertions hold unconditionally either way
+    for attempt in range(4):
+        s = RayStore([rays, rgbs], seed=42)
+        s.epoch_perm(0)
+        time.sleep(0.05 * (2**attempt))
+        p5 = s.epoch_perm(5)  # discards any delivered epoch-1 prefetch
+        p1 = s.epoch_perm(1)  # must be epoch 1's perm, not epoch 6's
+        np.testing.assert_array_equal(p1, fresh().epoch_perm(1))
+        np.testing.assert_array_equal(p5, fresh().epoch_perm(5))
 
 
 def test_fill_sequential_past_end_fallback(store):

@@ -94,5 +94,8 @@ def test_weight_decay_matches_torch_l2():
     params = jnp.asarray([1.0])
     state = opt.init(params)
     up, state = opt.update(jnp.asarray([0.0]), state, params)
-    # with zero raw grad, effective grad = 0.1 -> adam moves params negative
+    # with zero raw grad, COUPLED wd feeds 0.1 through adam's moment
+    # normalization -> |update| ~ lr; DECOUPLED (adamw-style) would give
+    # only -lr*wd*param = -0.01, so the magnitude check distinguishes them
     assert float(up[0]) < 0
+    assert abs(float(up[0])) > 0.05  # ~lr, not ~lr*wd

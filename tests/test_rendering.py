@@ -125,6 +125,7 @@ def test_white_back_background_is_white(setup):
 def test_remat_fine_matches_plain():
     """--remat_fine must be numerically transparent (same fwd and grads)."""
     import jax
+    import jax.flatten_util  # noqa: F401 — jax.flatten_util is lazy
 
     from nerf_pl_tpu.models.nerf import init_nerf
     from nerf_pl_tpu.ops.rendering import render_rays

@@ -38,23 +38,11 @@ def test_searchsorted_pallas_interpret_matches():
     rng = np.random.RandomState(1)
     cdf = _random_cdf(rng, 300, 63)  # non-multiple of block to test padding
     u = rng.rand(300, 128).astype(np.float32)
-    import functools
-    import importlib
-
-    ss = importlib.import_module("nerf_pl_tpu.ops.searchsorted")
-
-    # run the same kernel through the interpreter
-    out = pl.pallas_call(
-        functools.partial(ss._rank_kernel, M=63, right=True),
-        grid=(pl.cdiv(300, 128),),
-        in_specs=[
-            pl.BlockSpec((128, 63), lambda i: (i, 0)),
-            pl.BlockSpec((128, 128), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((128, 128), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((300, 128), jnp.int32),
+    # run the PRODUCTION wrapper (launch config included) in interpret mode
+    out = searchsorted_pallas(
+        jnp.asarray(cdf), jnp.asarray(u), "right", block_b=128,
         interpret=True,
-    )(jnp.asarray(cdf), jnp.asarray(u))
+    )
     want = np.asarray(searchsorted_jnp(jnp.asarray(cdf), jnp.asarray(u), "right"))
     np.testing.assert_array_equal(np.asarray(out), want)
 

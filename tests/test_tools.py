@@ -182,7 +182,8 @@ def test_save_weights_only_never_overwrites_input(trained_ckpt, tmp_path):
     before = open(src, "rb").read()
     r = subprocess.run(
         [sys.executable, "save_weights_only.py", "--ckpt_path", src],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""},
     )
     assert r.returncode == 0, r.stderr[-500:]

@@ -9,7 +9,9 @@ must match outputs AND input gradients on identical inputs.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
+import pytest
+
+torch = pytest.importorskip("torch")
 
 from nerf_pl_tpu.models.camera import Camera, intrinsic_matrix
 from nerf_pl_tpu.ops.shadow_mapping import (

@@ -93,14 +93,22 @@ def test_preemption_ckpt_survives_topk_pruning(fitted, tmp_path):
     import os
 
     system, cfg, tmp = fitted
-    # fill the top-5 list so any tracked save would be prune-eligible
-    for i in range(5):
-        system.save_ckpt(100 + i, float(i))
-    system.save_ckpt(999, None, filename="preempt.ckpt")
-    path = os.path.join(system.ckpt_root, "preempt.ckpt")
-    assert os.path.exists(path), "preemption checkpoint was pruned"
-    # and it is loadable
-    from nerf_pl_tpu.training import checkpoints
+    # redirect saves so this test never mutates the shared fixture's ckpt
+    # dir (other tests glob it); restore afterwards
+    orig_root, orig_topk = system.ckpt_root, list(system._topk)
+    try:
+        system.ckpt_root = str(tmp_path / "preempt_ckpts")
+        system._topk = []
+        # fill the top-5 list so any tracked save would be prune-eligible
+        for i in range(5):
+            system.save_ckpt(100 + i, float(i))
+        system.save_ckpt(999, None, filename="preempt.ckpt")
+        path = os.path.join(system.ckpt_root, "preempt.ckpt")
+        assert os.path.exists(path), "preemption checkpoint was pruned"
+        # and it is loadable
+        from nerf_pl_tpu.training import checkpoints
 
-    state = checkpoints.load_checkpoint(path)
-    assert state["epoch"] == 999
+        state = checkpoints.load_checkpoint(path)
+        assert state["epoch"] == 999
+    finally:
+        system.ckpt_root, system._topk = orig_root, orig_topk
