@@ -91,7 +91,7 @@ def transformation_between(
     return R, Q
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # numpy fields: generated __eq__ raises
 class Camera:
     """Reference-API-compatible PPC container (``models/camera.py:5``)."""
 

@@ -41,7 +41,9 @@ def get_rays(directions, c2w):
     Returns:
       rays_o, rays_d: both (N, 3); rays_d is normalized.
     """
-    xp = jnp if isinstance(directions, jnp.ndarray) else np
+    # jax if EITHER input is traced/device-side (mixed inputs under jit)
+    xp = (jnp if isinstance(directions, jnp.ndarray)
+          or isinstance(c2w, jnp.ndarray) else np)
     rays_d = directions @ c2w[:, :3].T
     rays_d = rays_d / xp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = xp.broadcast_to(c2w[:, 3], rays_d.shape)
@@ -50,7 +52,8 @@ def get_rays(directions, c2w):
 
 def get_ndc_rays(H: int, W: int, focal: float, near, rays_o, rays_d):
     """Warp world-space rays into NDC (used by forward-facing LLFF scenes)."""
-    xp = jnp if isinstance(rays_o, jnp.ndarray) else np
+    xp = (jnp if isinstance(rays_o, jnp.ndarray)
+          or isinstance(rays_d, jnp.ndarray) else np)
     t = -(near + rays_o[..., 2]) / rays_d[..., 2]
     rays_o = rays_o + t[..., None] * rays_d
 

@@ -57,9 +57,10 @@ def _query(
     """
     N_rays, S, _ = xyz.shape
     xyz_flat = xyz.reshape(-1, 3)
-    # the fused kernel hardcodes the reference embedding (10 xyz / 4 dir)
-    fused = (use_fused and supports_fused(params)
-             and xyz_freqs == 10 and dir_freqs == 4)
+    # the fused kernel hardcodes the reference embedding (10 xyz / 4 dir);
+    # sigma-only queries never consume dirs, so dir_freqs doesn't gate them
+    fused = (use_fused and supports_fused(params) and xyz_freqs == 10
+             and (sigma_only or dir_freqs == 4))
     if sigma_only:
         if fused:
             out = fused_nerf_apply_raw(
@@ -125,6 +126,17 @@ def render_rays(
         k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
     else:
         k_perturb = k_noise_c = k_pdf = k_noise_f = None
+        needs_rng = (
+            (perturb > 0 and "perturb_rand" not in ov)
+            or (noise_std > 0 and "noise_coarse" not in ov)
+            or (N_importance > 0 and perturb > 0 and "u" not in ov)
+        )
+        if needs_rng:
+            raise ValueError(
+                "render_rays(key=None) requires either deterministic "
+                "settings (perturb=0, noise_std=0) or injected overrides "
+                "for every random draw"
+            )
 
     # raw dirs flow to _query; embedding happens per-path (fused: in-kernel)
     dirs_for_query = None if sigma_mode else rays_d

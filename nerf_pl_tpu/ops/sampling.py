@@ -103,10 +103,12 @@ def sample_pdf(
     # ``far`` (outside the frustum; past z=1 for NDC rays)
     inds = jnp.clip(inds, 0.0, N_samples_ - 1.0)
 
-    if det:
+    if jitter is not None:
+        offset = jitter  # injected (torch-parity) — honored in det mode too
+    elif det:
         offset = 0.5
     else:
-        offset = jitter if jitter is not None else jax.random.uniform(
+        offset = jax.random.uniform(
             kj, (N_rays, N_importance), dtype=weights.dtype
         )
     z_steps = (inds + offset) / N_samples_

@@ -67,3 +67,12 @@ def test_coord_trans_is_blender_flip():
     v = np.array([1.0, 2.0, 3.0, 1.0], np.float32)
     out = COORD_TRANS @ v
     np.testing.assert_allclose(out[:3], [1.0, -3.0, 2.0])
+
+
+def test_camera_eq_does_not_raise():
+    from nerf_pl_tpu.models.camera import Camera, intrinsic_matrix
+
+    a = Camera(camera=intrinsic_matrix(0.8, (8, 8)))
+    b = Camera(camera=intrinsic_matrix(0.8, (8, 8)))
+    assert (a == b) is False  # identity comparison, never an array ValueError
+    assert a == a

@@ -63,3 +63,15 @@ def test_rays_parity_with_torch_reference_math():
         [(i - W / 2) / f, -(j - H / 2) / f, -torch.ones_like(i)], -1
     ).numpy()
     np.testing.assert_allclose(d, want, rtol=1e-6)
+
+
+def test_get_rays_mixed_numpy_jax_under_jit():
+    """numpy directions constant + traced c2w must not force np.asarray on a
+    tracer (dispatch considers both operands)."""
+    import jax
+    import jax.numpy as jnp
+
+    dirs = np.random.RandomState(0).rand(4, 3).astype(np.float32)
+    c2w = jnp.asarray(np.eye(3, 4, dtype=np.float32))
+    o, d = jax.jit(lambda m: get_rays(dirs, m))(c2w)
+    assert o.shape == (4, 3) and bool(jnp.isfinite(d).all())

@@ -171,3 +171,22 @@ def test_dir_freqs_is_respected():
         perturb=0.0, noise_std=0.0, dir_freqs=6,
     )
     assert out["rgb_coarse"].shape == (4, 3)
+
+
+def test_key_none_requires_determinism_or_overrides():
+    import jax
+
+    from nerf_pl_tpu.models.nerf import init_nerf
+    from nerf_pl_tpu.ops.rendering import render_rays
+
+    params = init_nerf(jax.random.PRNGKey(0))
+    rays = jnp.concatenate(
+        [jnp.zeros((4, 6)), jnp.full((4, 1), 2.0), jnp.full((4, 1), 6.0)], 1
+    )
+    with pytest.raises(ValueError, match="key=None"):
+        render_rays(params, None, rays, None, N_samples=4, N_importance=0,
+                    perturb=1.0, noise_std=1.0)
+    # deterministic settings are fine without a key
+    out = render_rays(params, None, rays, None, N_samples=4, N_importance=0,
+                      perturb=0.0, noise_std=0.0)
+    assert out["rgb_coarse"].shape == (4, 3)
