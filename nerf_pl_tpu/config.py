@@ -167,6 +167,11 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ckpt_dir", type=str, default=d.ckpt_dir)
     parser.add_argument("--log_dir", type=str, default=d.log_dir)
     parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--data_device_resident",
+                        type=lambda s: s.lower() == "true",
+                        default=d.data_device_resident,
+                        help="false = host-streaming mode through the "
+                        "native C++ ray store (for buffers too big for HBM)")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host pod slice: jax.distributed."
                         "initialize() before building the device mesh")
