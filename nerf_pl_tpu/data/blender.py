@@ -27,7 +27,8 @@ from typing import Optional
 import numpy as np
 from PIL import Image
 
-from ..ops.ray_utils import get_ray_directions, get_rays
+from .shadow_common import make_rays
+from ..ops.ray_utils import get_ray_directions
 
 
 def _load_image(path, img_wh, black_and_white=False):
@@ -46,8 +47,10 @@ def _load_image(path, img_wh, black_and_white=False):
     return img.reshape(-1, 4)
 
 
-def blend_rgba(img: np.ndarray, white_background: bool = True) -> np.ndarray:
-    """``rgb*a + (1-a)`` — blend alpha over white (datasets/blender.py:77)."""
+def blend_rgba(img: np.ndarray) -> np.ndarray:
+    """``rgb*a + (1-a)`` — blend alpha over white. The reference blends over
+    white UNCONDITIONALLY, even with white_back=False (datasets/blender.py:
+    77-80), so there is deliberately no background parameter here."""
     rgb, a = img[:, :3], img[:, 3:4]
     return rgb * a + (1.0 - a)
 
@@ -96,13 +99,12 @@ class BlenderDataset:
                 path = os.path.join(self.root_dir, f"{frame['file_path']}.png")
                 paths.append(path)
                 img = _load_image(path, self.img_wh, self.black_and_white)
-                rgbs.append(blend_rgba(img))
-                rays_o, rays_d = get_rays(self.directions, pose)
-                nf = np.ones_like(rays_o[:, :1])
+                # reference bw branch is RAW replicated grayscale with NO
+                # alpha blend (datasets/blender.py:68-72)
+                rgbs.append(img[:, :3] if self.black_and_white
+                            else blend_rgba(img))
                 rays.append(
-                    np.concatenate(
-                        [rays_o, rays_d, self.near * nf, self.far * nf], axis=1
-                    )
+                    make_rays(self.directions, pose, self.near, self.far)
                 )
             self.poses = np.stack(poses)
             self.image_paths = paths
@@ -125,12 +127,8 @@ class BlenderDataset:
         path = os.path.join(self.root_dir, f"{frame['file_path']}.png")
         img = _load_image(path, self.img_wh, self.black_and_white)
         valid_mask = img[:, 3] > 0
-        rgbs = blend_rgba(img)
-        rays_o, rays_d = get_rays(self.directions, c2w)
-        nf = np.ones_like(rays_o[:, :1])
-        rays = np.concatenate(
-            [rays_o, rays_d, self.near * nf, self.far * nf], axis=1
-        ).astype(np.float32)
+        rgbs = img[:, :3] if self.black_and_white else blend_rgba(img)
+        rays = make_rays(self.directions, c2w, self.near, self.far)
         return {
             "rays": rays,
             "rgbs": rgbs.astype(np.float32),

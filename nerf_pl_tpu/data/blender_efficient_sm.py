@@ -100,7 +100,7 @@ class BlenderEfficientShadows:
                 if not os.path.exists(sm_path):
                     continue
                 c2w = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]
-                M, eye = posed_ppc(self.meta["camera_angle_x"], (h, w), c2w)
+                M, eye = posed_ppc(self.meta["camera_angle_x"], (w, h), c2w)
                 p = len(cam_ms)
                 cam_ms.append(M)
                 cam_eyes.append(eye)
@@ -149,7 +149,7 @@ class BlenderEfficientShadows:
             }
         frame = self.meta["frames"][idx]
         c2w = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]
-        M, eye = posed_ppc(self.meta["camera_angle_x"], (h, w), c2w)
+        M, eye = posed_ppc(self.meta["camera_angle_x"], (w, h), c2w)
         sm = load_sm_image(
             sm_path_for(self.root_dir, frame["file_path"]), self.img_wh, self.blur
         )

@@ -94,7 +94,7 @@ class BlenderRGBEfficientShadows:
                 name = frame["file_path"].split("/")[-1]
                 rgb_path = os.path.join(self.root_dir, f"{name}.png")
                 c2w = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]
-                M, eye = posed_ppc(self.meta["camera_angle_x"], (h, w), c2w)
+                M, eye = posed_ppc(self.meta["camera_angle_x"], (w, h), c2w)
                 p = len(cam_ms)
                 cam_ms.append(M)
                 cam_eyes.append(eye)
@@ -133,7 +133,7 @@ class BlenderRGBEfficientShadows:
         frame = self.meta["frames"][idx]
         name = frame["file_path"].split("/")[-1]
         c2w = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]
-        M, eye = posed_ppc(self.meta["camera_angle_x"], (h, w), c2w)
+        M, eye = posed_ppc(self.meta["camera_angle_x"], (w, h), c2w)
         rgb = blend_rgba(
             _load_image(os.path.join(self.root_dir, f"{name}.png"), self.img_wh)
         )

@@ -78,7 +78,7 @@ class BlenderDatasetShadows:
         c2w = self.poses[idx] if self.split == "train" else np.array(
             frame["transform_matrix"], dtype=np.float32
         )[:3, :4]
-        M, eye = posed_ppc(self.meta["camera_angle_x"], (h, w), c2w)
+        M, eye = posed_ppc(self.meta["camera_angle_x"], (w, h), c2w)
         sm = load_sm_image(
             sm_path_for(self.root_dir, frame["file_path"]), self.img_wh
         )

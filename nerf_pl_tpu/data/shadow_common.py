@@ -91,7 +91,7 @@ class LightRig:
             self.eye_pos = np.asarray(eye_override, np.float32)
         else:
             self.camera, self.eye_pos = posed_ppc(
-                light_camera_angle_x, (h, w), l2w
+                light_camera_angle_x, (w, h), l2w
             )
         self.near, self.far = near, far
 

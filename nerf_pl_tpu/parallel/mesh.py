@@ -29,8 +29,17 @@ def initialize_distributed(**kwargs) -> None:
     No-op if already initialized or single-process."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process context
+    except (RuntimeError, ValueError) as e:
+        # already initialized / single-process contexts degrade to a no-op,
+        # but NEVER silently: a wrong coordinator address here would
+        # otherwise leave N hosts training N divergent models with no sync
+        import sys
+
+        print(
+            f"initialize_distributed: proceeding single-process "
+            f"({type(e).__name__}: {e})",
+            file=sys.stderr,
+        )
 
 
 def shard_map(f, mesh: Mesh, in_specs, out_specs):
@@ -75,10 +84,20 @@ def shard_rays(buf: np.ndarray, mesh: Mesh) -> jax.Array:
     d = mesh.devices.size
     sharding = NamedSharding(mesh, P("rays"))
     if jax.process_count() > 1:
-        # local rows must split evenly over this host's addressable devices
+        # every host must contribute the same rows-per-device or the global
+        # shape is inconsistent across processes — agree on the global MIN
+        # (hosts may have loaded image subsets of different sizes)
+        from jax.experimental import multihost_utils
+
         d_local = len(mesh.local_devices)
-        n = (buf.shape[0] // d_local) * d_local
-        return jax.make_array_from_process_local_data(sharding, buf[:n])
+        per_dev = int(
+            multihost_utils.process_allgather(
+                np.asarray(buf.shape[0] // d_local)
+            ).min()
+        )
+        return jax.make_array_from_process_local_data(
+            sharding, buf[: per_dev * d_local]
+        )
     n = (buf.shape[0] // d) * d
     return jax.device_put(buf[:n], sharding)
 

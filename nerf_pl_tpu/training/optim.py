@@ -129,6 +129,9 @@ def get_optimizer(
     weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     eps = 1e-8
+    # coupled (torch-L2, grad += wd*p BEFORE the moments) only for sgd/adam
+    # — the reference's RAdam/Ranger/AdamW all apply DECOUPLED decay after
+    # the rectified step, scaled by lr (utils/optimizers.py:84-91,387-388)
     wd = (
         [optax.add_decayed_weights(weight_decay)] if weight_decay > 0 else []
     )
@@ -136,17 +139,17 @@ def get_optimizer(
         core = [optax.trace(decay=momentum)] if momentum > 0 else []
     elif optimizer == "adam":
         core = [optax.scale_by_adam(eps=eps)]
-    elif optimizer == "radam":
-        core = [optax.scale_by_radam(eps=eps)]
-    elif optimizer == "adamw":
-        # decoupled weight decay (reference ships an AdamW class,
-        # utils/optimizers.py:173, though its CLI never exposes it)
-        core = [optax.scale_by_adam(eps=eps)]
+    elif optimizer in ("radam", "adamw", "ranger"):
+        if optimizer == "adamw":
+            core = [optax.scale_by_adam(eps=eps)]
+        else:
+            # reference Ranger uses betas=(0.95, 0.999)
+            # (utils/optimizers.py:268); plain RAdam keeps torch defaults
+            b1 = 0.95 if optimizer == "ranger" else 0.9
+            core = [optax.scale_by_radam(b1=b1, eps=eps)]
         if weight_decay > 0:
-            wd = []  # torch AdamW decay is applied after the adam scale
+            wd = []
             core.append(optax.add_decayed_weights(weight_decay))
-    elif optimizer == "ranger":
-        core = [optax.scale_by_radam(eps=eps)]
     else:
         raise ValueError(f"optimizer {optimizer!r} not recognized!")
 

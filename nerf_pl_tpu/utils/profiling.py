@@ -67,7 +67,9 @@ def install_preemption_handler(save_fn: Callable[[], None],
         try:
             save_fn()
         finally:
-            if callable(prev):
+            if prev is signal.SIG_IGN:
+                pass  # the launcher ignored this signal on purpose
+            elif callable(prev):
                 prev(signum, frame)
             else:
                 signal.signal(sig, signal.SIG_DFL)

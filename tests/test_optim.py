@@ -99,3 +99,14 @@ def test_weight_decay_matches_torch_l2():
     # only -lr*wd*param = -0.01, so the magnitude check distinguishes them
     assert float(up[0]) < 0
     assert abs(float(up[0])) > 0.05  # ~lr, not ~lr*wd
+
+
+def test_radam_weight_decay_is_decoupled():
+    """Reference RAdam/Ranger decay is p += -wd*lr*p AFTER the step
+    (utils/optimizers.py:84-91), not torch-L2 through the moments."""
+    opt = get_optimizer("radam", lambda s: 0.1, weight_decay=0.1)
+    params = jnp.asarray([1.0])
+    state = opt.init(params)
+    up, _ = opt.update(jnp.asarray([0.0]), state, params)
+    # zero grad -> radam term is 0, leaving exactly -lr*wd*p
+    np.testing.assert_allclose(float(up[0]), -0.1 * 0.1 * 1.0, rtol=1e-5)

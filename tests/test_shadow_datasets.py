@@ -111,3 +111,17 @@ def test_depth_utils_pfm_roundtrip(tmp_path):
     save_pfm(p, img)
     back, scale = read_pfm(p)
     np.testing.assert_allclose(back, img, rtol=1e-6)
+
+
+def test_blender_black_and_white_is_raw_grayscale(shadow_root):
+    """Reference bw branch (datasets/blender.py:68-72) is convert('L') with
+    NO alpha blend — background must stay raw gray, not white-blended."""
+    from nerf_pl_tpu.data.blender import BlenderDataset
+
+    ds = BlenderDataset(shadow_root, split="train", img_wh=(8, 8),
+                        black_and_white=True)
+    rgbs = ds.all_rgbs
+    assert rgbs.shape[1] == 3
+    # replicated channels
+    np.testing.assert_array_equal(rgbs[:, 0], rgbs[:, 1])
+    np.testing.assert_array_equal(rgbs[:, 1], rgbs[:, 2])
