@@ -48,7 +48,10 @@ class PyRednerShadowsDataset:
         self.root_dir = root_dir
         self.split = split
         self.img_wh = tuple(img_wh)
-        self.blur = int(blur)
+        # reference quirk (datasets/pyredner2.py:122): blur is applied with
+        # FIXED radius 5 whenever the flag is truthy — and the default -1
+        # is truthy, so reference pyredner2 targets are always blurred
+        self.blur = 5 if int(blur) != 0 else -1
         self.val_num = val_num
         self.near, self.far = near, far
         self.light_near, self.light_far = light_near, light_far

@@ -151,7 +151,10 @@ def render_rays(
     xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     result: Results = {}
-    coarse_sigma_only = sigma_mode or test_time
+    # test_time skips the coarse RGB head ONLY when a fine pass will produce
+    # the image (reference rendering.py:237-241; with N_importance=0 that
+    # shortcut would leave no rgb at all)
+    coarse_sigma_only = sigma_mode or (test_time and N_importance > 0)
     sigmas_c, rgbs_c = _query(
         params_coarse, xyz_coarse, dirs_for_query, xyz_freqs,
         coarse_sigma_only, compute_dtype, use_fused, dir_freqs,
@@ -160,7 +163,7 @@ def render_rays(
         sigmas_c, z_vals, rays_d, noise_std, key=k_noise_c,
         noise=ov.get("noise_coarse"),
     )
-    if test_time:
+    if coarse_sigma_only and not sigma_mode:  # test_time w/ a fine pass
         result["opacity_coarse"] = weights_coarse.sum(axis=1)
     else:
         comp = composite(

@@ -51,14 +51,21 @@ def get_opts(argv=None):
 
 
 def load_models(ckpt_path: str):
+    """Coarse(+fine) params from a checkpoint. A checkpoint trained with
+    N_importance=0 has no fine weights — then "fine" is OMITTED rather
+    than silently substituting a randomly initialized network (which would
+    render garbage with no error)."""
+    from ..training.checkpoints import extract_model_state_dict
+
     params = {
         "coarse": load_ckpt_into(
             init_nerf(jax.random.PRNGKey(0)), ckpt_path, "coarse"
         ),
-        "fine": load_ckpt_into(
-            init_nerf(jax.random.PRNGKey(1)), ckpt_path, "fine"
-        ),
     }
+    if extract_model_state_dict(ckpt_path, "fine"):
+        params["fine"] = load_ckpt_into(
+            init_nerf(jax.random.PRNGKey(1)), ckpt_path, "fine"
+        )
     return params
 
 
@@ -79,6 +86,9 @@ def run(args) -> Optional[float]:
     dataset = dataset_dict[args.dataset_name](**kwargs)
 
     params = load_models(args.ckpt_path)
+    if "fine" not in params and args.N_importance > 0:
+        print("[eval] checkpoint has no fine model — rendering coarse-only")
+        args.N_importance = 0
 
     imgs, psnrs = [], []
     dir_name = os.path.join(args.out_dir, args.dataset_name, args.scene_name)
@@ -101,11 +111,12 @@ def run(args) -> Optional[float]:
             params, rays, jax.random.PRNGKey(i), chunk=args.chunk, **rkw
         )
         jax.block_until_ready(results)
-        img_pred = np.asarray(results["rgb_fine"]).reshape(h, w, 3)
+        typ = "fine" if "rgb_fine" in results else "coarse"
+        img_pred = np.asarray(results[f"rgb_{typ}"]).reshape(h, w, 3)
 
         if args.save_depth:
             depth_pred = np.nan_to_num(
-                np.asarray(results["depth_fine"]).reshape(h, w)
+                np.asarray(results[f"depth_{typ}"]).reshape(h, w)
             )
             if args.depth_format == "pfm":
                 from ..data.depth_utils import save_pfm

@@ -268,6 +268,7 @@ class EfficientSMSystem(_ShadowSystemBase):
                 grads = jax.lax.pmean(grads, "rays")
                 loss = jax.lax.pmean(loss, "rays")
                 psnr = jax.lax.pmean(psnr, "rays")
+                op_loss = jax.lax.pmean(op_loss, "rays")
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state, light_depths), (loss, psnr, op_loss)
@@ -292,17 +293,7 @@ class EfficientSMSystem(_ShadowSystemBase):
         self._epoch_fns[light_n] = jitted
         return jitted
 
-    def _tables(self):
-        return {
-            "light_rays": self.light_rays,
-            "light_pixels": self.light_pixels,
-            "light_m": self.light_m,
-            "light_eye": self.light_eye,
-            "cam_ms": self.cam_ms,
-            "cam_eyes": self.cam_eyes,
-        }
-
-    def _init_light_cache(self, light_n: int):
+    def _init_light_cache(self):
         hw = self.light_rays.shape[0]
         # four DISTINCT buffers — the cache is donated, and donating one
         # buffer twice is an error
@@ -318,13 +309,15 @@ class EfficientSMSystem(_ShadowSystemBase):
 
     def fit(self):
         cfg = self.cfg
+        self._fit_prologue()
         if cfg.num_sanity_val_steps > 0:
             print(f"[sanity] {self.validation(0, max_images=cfg.num_sanity_val_steps)}")
         global_step = self.epoch0 * self.steps_per_epoch
         for epoch in range(self.epoch0, cfg.num_epochs):
+            self._last_epoch = epoch
             light_n = self._resolve_light_n(epoch)
             epoch_fn = self._epoch_fn_for(light_n)
-            light_cache = self._init_light_cache(light_n)
+            light_cache = self._init_light_cache()
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
             (
@@ -367,6 +360,7 @@ class EfficientSMSystem(_ShadowSystemBase):
         if max_images is not None:
             n_img = min(n_img, max_images)
         losses, psnrs = [], []
+        light_depths = None  # one light rig for all val frames: render once
         for i in range(n_img):
             sample = self.val_dataset[i]
             self.rng, k1, k2 = jax.random.split(self.rng, 3)
@@ -374,16 +368,17 @@ class EfficientSMSystem(_ShadowSystemBase):
                 self.params, jnp.asarray(sample["rays"]), k1, chunk=cfg.chunk,
                 mesh=self.mesh, **rkw,
             )
-            light_res = render_image(
-                self.params, jnp.asarray(sample["light_rays"]), k2,
-                chunk=cfg.chunk, mesh=self.mesh, **rkw,
-            )
-            light_depths = {
-                "depth_coarse": light_res["depth_coarse"],
-                "depth_fine": light_res.get(
-                    "depth_fine", light_res["depth_coarse"]
-                ),
-            }
+            if light_depths is None:
+                light_res = render_image(
+                    self.params, jnp.asarray(sample["light_rays"]), k2,
+                    chunk=cfg.chunk, mesh=self.mesh, **rkw,
+                )
+                light_depths = {
+                    "depth_coarse": light_res["depth_coarse"],
+                    "depth_fine": light_res.get(
+                        "depth_fine", light_res["depth_coarse"]
+                    ),
+                }
             out = efficient_sm(
                 jnp.asarray(sample["pixels"]),
                 jnp.asarray(self.val_dataset.light.pixels),
@@ -399,7 +394,7 @@ class EfficientSMSystem(_ShadowSystemBase):
                 shadow_method=cfg.shadow_method,
             )
             rgbs = jnp.asarray(sample["rgbs"])
-            jax.block_until_ready((cam_res, light_res, out))  # see trainer.py
+            jax.block_until_ready((cam_res, out))  # see trainer.py
             typ = "fine" if "rgb_fine" in out else "coarse"
             losses.append(float(mse_loss(out, rgbs)))
             psnrs.append(float(psnr_metric(out[f"rgb_{typ}"], rgbs)))
@@ -573,13 +568,15 @@ class RGBSMSystem(EfficientSMSystem):
 
     def fit(self):
         cfg = self.cfg
+        self._fit_prologue()
         if cfg.num_sanity_val_steps > 0:
             print(f"[sanity] {self.validation(0, max_images=cfg.num_sanity_val_steps)}")
         global_step = self.epoch0 * self.steps_per_epoch
         for epoch in range(self.epoch0, cfg.num_epochs):
+            self._last_epoch = epoch
             light_n = self._resolve_light_n(epoch)
             epoch_fn = self._epoch_fn_for(light_n)
-            light_cache = self._init_light_cache(light_n)
+            light_cache = self._init_light_cache()
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
             (
@@ -659,7 +656,7 @@ class RGBSMSystem(EfficientSMSystem):
             )
             rgbs = jnp.asarray(s["rgbs"])
             sms = jnp.asarray(s["sm"])
-            jax.block_until_ready((cam_res, light_res, out))  # see trainer.py
+            jax.block_until_ready((cam_res, out))  # see trainer.py
             typ = "fine" if "rgb_fine" in out else "coarse"
             losses.append(
                 float(cfg.rgb_weight * mse_loss(out, rgbs) + cfg.sm_weight * sm_loss(out, sms))
@@ -671,7 +668,7 @@ class RGBSMSystem(EfficientSMSystem):
         return {
             "val/loss": float(np.mean(losses)),
             "val/psnr": float(np.mean(psnrs)),
-            "val_sm_psnr": float(np.mean(sm_psnrs)),
+            "val/sm_psnr": float(np.mean(sm_psnrs)),
         }
 
 
@@ -751,11 +748,15 @@ class LightSamplerSystem(_ShadowSystemBase):
                 params.get("coarse"), params.get("fine"),
                 jax.lax.stop_gradient(lrays), kl, **rkw_light,
             )
+            # reference parity: the light render happens INSIDE the training
+            # graph (train_light_sampler.py:182-186 — its
+            # were_gradients_computed flag is dead, detach there only hits
+            # sample_pdf), so gradients flow through BOTH the camera-depth
+            # and light-depth paths
             range_light = (
                 light_res["depth_fine"] if light_n > 0
                 else light_res["depth_coarse"]
             )
-            range_light = jax.lax.stop_gradient(range_light)
             lpix = jnp.stack(
                 [ul_i + 0.5, vl_i + 0.5, jnp.ones_like(ul_i)], axis=1
             )
@@ -812,9 +813,11 @@ class LightSamplerSystem(_ShadowSystemBase):
 
     def fit(self):
         cfg = self.cfg
+        self._fit_prologue()
         global_step = self.epoch0 * self.steps_per_epoch
         epoch_fn = self._epoch_fn()
         for epoch in range(self.epoch0, cfg.num_epochs):
+            self._last_epoch = epoch
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
             self.params, self.opt_state, losses, psnrs = epoch_fn(
@@ -941,7 +944,28 @@ class ShadowMappingSystem:
         global_step = 0
         from .checkpoints import save_checkpoint
 
+        # preemption-safe save (standalone class — no NeRFSystem prologue)
+        from ..utils.profiling import install_preemption_handler
+
+        self._last_epoch = 0
+
+        def _preempt_save():
+            os.makedirs(self.ckpt_root, exist_ok=True)
+            save_checkpoint(
+                os.path.join(self.ckpt_root, "preempt.ckpt"),
+                {"params": jax.device_get(self.params),
+                 "opt_state": jax.device_get(self.opt_state),
+                 "epoch": self._last_epoch},
+            )
+
+        install_preemption_handler(_preempt_save)
+        if cfg.debug_nans:
+            from ..utils.profiling import enable_nan_debugging
+
+            enable_nan_debugging(True)
+
         for epoch in range(cfg.num_epochs):
+            self._last_epoch = epoch
             losses, psnrs = [], []
             t0 = time.time()
             for s in range(self.steps_per_epoch):

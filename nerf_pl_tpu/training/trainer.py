@@ -242,8 +242,11 @@ class NeRFSystem:
             if len(rows) < gb:
                 break
             rays_np, rgbs_np = self.ray_store.split(rows)
-            rays = jax.device_put(jnp.asarray(rays_np), sh)
-            rgbs = jax.device_put(jnp.asarray(rgbs_np), sh)
+            # device_put numpy DIRECTLY with the sharding: each device gets
+            # only its shard from host memory (jnp.asarray first would
+            # commit the whole batch to device 0 and reshard device-side)
+            rays = jax.device_put(np.ascontiguousarray(rays_np), sh)
+            rgbs = jax.device_put(np.ascontiguousarray(rgbs_np), sh)
             self.params, self.opt_state, loss, psnr = self._step_fn(
                 self.params, self.opt_state, rays, rgbs,
                 jax.random.fold_in(epoch_key, step),
@@ -327,8 +330,14 @@ class NeRFSystem:
         self.opt_state = replicate(opt_state, self.mesh)
         self.epoch0 = 0
         if cfg.ckpt_path and cfg.ckpt_path.endswith(".ckpt"):
-            # full-state resume (params+opt+epoch) when given a trainer ckpt
-            try:
+            # full-state resume (params+opt+epoch) when given a trainer ckpt;
+            # weights-only exports (save_weights_only.py) legitimately lack
+            # opt_state/epoch and fall back to the partial restore above —
+            # anything ELSE failing to restore must be loud, or a user who
+            # believes they resumed silently restarts at epoch 0 with a
+            # fresh optimizer and overwrites their checkpoints
+            raw = checkpoints.load_checkpoint(cfg.ckpt_path)
+            if "opt_state" in raw and "epoch" in raw:
                 state = checkpoints.load_checkpoint(
                     cfg.ckpt_path,
                     {"params": params, "opt_state": opt_state, "epoch": 0},
@@ -336,8 +345,13 @@ class NeRFSystem:
                 self.params = replicate(state["params"], self.mesh)
                 self.opt_state = replicate(state["opt_state"], self.mesh)
                 self.epoch0 = int(state["epoch"]) + 1
-            except Exception:
-                pass
+            else:
+                print(
+                    f"[resume] {cfg.ckpt_path} has no trainer state "
+                    "(weights-only artifact) — params restored, optimizer "
+                    "fresh, starting at epoch 0",
+                    flush=True,
+                )
 
     # -- validation ---------------------------------------------------------
     def validation(self, epoch: int, max_images: Optional[int] = None) -> Dict[str, float]:
@@ -408,10 +422,10 @@ class NeRFSystem:
                 os.remove(worst)
 
     # -- main loop ----------------------------------------------------------
-    def fit(self):
-        cfg = self.cfg
-        # preemption-safe checkpointing (SURVEY.md §5.3): SIGTERM saves a
-        # resumable state before the process dies
+    def _fit_prologue(self):
+        """Preemption-safe checkpointing (SURVEY.md §5.3) + NaN debugging —
+        shared by every trainer's fit(), including the shadow systems'
+        custom epoch loops. Keep ``self._last_epoch`` updated per epoch."""
         from ..utils.profiling import install_preemption_handler
 
         self._last_epoch = self.epoch0
@@ -419,10 +433,26 @@ class NeRFSystem:
             lambda: self.save_ckpt(self._last_epoch, None,
                                    filename="preempt.ckpt")
         )
-        if cfg.debug_nans:
+        if self.cfg.debug_nans:
             from ..utils.profiling import enable_nan_debugging
 
             enable_nan_debugging(True)
+
+    def _epoch_trace(self, epoch: int):
+        """--profile: jax.profiler trace context for the first epoch."""
+        import contextlib
+
+        from ..utils.profiling import profile_trace
+
+        if self.cfg.profile and epoch == self.epoch0:
+            return profile_trace(os.path.join(self.logger.dir, "trace"))
+        return contextlib.nullcontext()
+
+    def fit(self):
+        cfg = self.cfg
+        # preemption-safe checkpointing (SURVEY.md §5.3): SIGTERM saves a
+        # resumable state before the process dies
+        self._fit_prologue()
         if cfg.num_sanity_val_steps > 0:
             metrics = self.validation(self.epoch0, max_images=cfg.num_sanity_val_steps)
             print(f"[sanity] {metrics}")
@@ -431,16 +461,7 @@ class NeRFSystem:
             self._last_epoch = epoch
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
-            import contextlib
-
-            from ..utils.profiling import profile_trace
-
-            prof = (
-                profile_trace(os.path.join(self.logger.dir, "trace"))
-                if cfg.profile and epoch == self.epoch0
-                else contextlib.nullcontext()
-            )
-            with prof:
+            with self._epoch_trace(epoch):
                 if self.ray_store is not None:
                     losses, psnrs = self._run_streaming_epoch(epoch, ek)
                 else:

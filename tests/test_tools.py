@@ -189,3 +189,25 @@ def test_save_weights_only_never_overwrites_input(trained_ckpt, tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     assert open(src, "rb").read() == before, "input checkpoint was clobbered"
     assert os.path.exists(str(tmp_path / "last_weights.ckpt"))
+
+
+def test_eval_tool_coarse_only_checkpoint(blender_root, tmp_path):
+    """A checkpoint trained with N_importance=0 must render coarse-only
+    (previously a randomly initialized fine net silently produced garbage)."""
+    import jax
+
+    from nerf_pl_tpu.models.nerf import init_nerf
+    from nerf_pl_tpu.tools.evaluate import get_opts, load_models, run
+    from nerf_pl_tpu.training.checkpoints import save_checkpoint
+
+    ckpt = str(tmp_path / "coarse_only.ckpt")
+    save_checkpoint(ckpt, {"params": {"coarse": init_nerf(jax.random.PRNGKey(0))}})
+    assert "fine" not in load_models(ckpt)
+    args = get_opts(
+        ["--root_dir", blender_root, "--dataset_name", "blender",
+         "--split", "val", "--img_wh", "16", "16", "--N_samples", "8",
+         "--N_importance", "8", "--chunk", "256", "--ckpt_path", ckpt,
+         "--out_dir", str(tmp_path / "out"), "--scene_name", "co"]
+    )
+    mean_psnr = run(args)
+    assert mean_psnr is not None and np.isfinite(mean_psnr)
