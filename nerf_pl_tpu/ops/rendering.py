@@ -129,7 +129,13 @@ def render_rays(
         needs_rng = (
             (perturb > 0 and "perturb_rand" not in ov)
             or (noise_std > 0 and "noise_coarse" not in ov)
-            or (N_importance > 0 and perturb > 0 and "u" not in ov)
+            # sample_pdf draws BOTH u and jitter unless det (perturb == 0)
+            or (
+                N_importance > 0
+                and perturb > 0
+                and ("u" not in ov or "jitter" not in ov)
+            )
+            or (N_importance > 0 and noise_std > 0 and "noise_fine" not in ov)
         )
         if needs_rng:
             raise ValueError(

@@ -191,15 +191,22 @@ def run(args) -> str:
         # sigma_grid from meshgrid(x,y,z,'xy') has axes (y, x, z); gradients
         # come back per-axis as (d/dy, d/dx, d/dz)
         g_y, g_x, g_z = np.gradient(sigma_grid)
-        idx = np.clip(np.round(
-            (vertices_w - [args.x_range[0], args.y_range[0], args.z_range[0]])
-            / np.array([
-                (args.x_range[1] - args.x_range[0]),
-                (args.y_range[1] - args.y_range[0]),
-                (args.z_range[1] - args.z_range[0]),
-            ]) * N
-        ).astype(int), 0, N - 1)
-        ii = (idx[:, 1], idx[:, 0], idx[:, 2])  # (y-axis, x-axis, z-axis)
+        # exact inverse of grid_vertices_to_world (which carries the
+        # reference's x/y swap): grid axis 0 spans x_range but parameterizes
+        # world Y; grid axis 1 spans y_range and parameterizes world X
+        i0 = (vertices_w[:, 1] - args.x_range[0]) / (
+            args.x_range[1] - args.x_range[0]
+        )
+        i1 = (vertices_w[:, 0] - args.y_range[0]) / (
+            args.y_range[1] - args.y_range[0]
+        )
+        i2 = (vertices_w[:, 2] - args.z_range[0]) / (
+            args.z_range[1] - args.z_range[0]
+        )
+        idx = np.clip(
+            np.round(np.stack([i0, i1, i2], 1) * N).astype(int), 0, N - 1
+        )
+        ii = (idx[:, 0], idx[:, 1], idx[:, 2])  # (y-axis, x-axis, z-axis)
         g = np.stack([g_x[ii], g_y[ii], g_z[ii]], axis=1)
         normals = -g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-8)
         near = dataset.bounds.min() * np.ones((n_vert, 1), np.float32)

@@ -42,9 +42,15 @@ class RenderService:
         from .evaluate import load_models
 
         self.params = load_models(ckpt_path)
+        if "fine" not in self.params and n_importance > 0:
+            # coarse-only checkpoint: downgrade instead of crashing at warm()
+            # (same fallback as tools/evaluate.py)
+            print("[serve] checkpoint has no fine model — serving coarse-only")
+            n_importance = 0
         self.img_wh = img_wh
         self.near, self.far = near, far
         self.camera_angle_x = camera_angle_x
+        self._img_key = "rgb_fine" if n_importance > 0 else "rgb_coarse"
         self.rkw = dict(
             N_samples=n_samples, N_importance=n_importance, perturb=0.0,
             noise_std=0.0, white_back=white_back, test_time=True,
@@ -98,7 +104,7 @@ class RenderService:
             jax.block_until_ready(out)
             self.renders += 1
         return np.clip(
-            np.asarray(out["rgb_fine"]).reshape(wh, wh, 3), 0, 1
+            np.asarray(out[self._img_key]).reshape(wh, wh, 3), 0, 1
         )
 
 

@@ -39,6 +39,11 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
 
 
 def save_checkpoint(path: str, state: Any) -> None:
+    # multi-host: state is fully replicated, so every process holds identical
+    # bytes — but N processes racing os.replace on one shared path can
+    # publish a torn file. Only process 0 writes.
+    if jax.process_index() != 0:
+        return
     state = jax.device_get(state)
     data = serialization.msgpack_serialize(
         serialization.to_state_dict(state), in_place=True

@@ -15,12 +15,28 @@ from typing import Dict
 import numpy as np
 
 
+def _is_primary() -> bool:
+    """True on process 0 (or when JAX is absent/uninitialized). Multi-host
+    runs share log_dir on a common filesystem; N processes appending to the
+    same metrics.jsonl interleave/duplicate every record."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class RunLogger:
     def __init__(self, log_dir: str, exp_name: str, use_tensorboard: bool = True):
         self.dir = os.path.join(log_dir, exp_name)
+        self.primary = _is_primary()
+        self._jsonl = None
+        self._tb = None
+        if not self.primary:
+            return
         os.makedirs(self.dir, exist_ok=True)
         self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -30,6 +46,8 @@ class RunLogger:
                 self._tb = None
 
     def scalars(self, step: int, values: Dict[str, float]) -> None:
+        if not self._jsonl:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in values.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -44,6 +62,7 @@ class RunLogger:
             self._tb.add_images(tag, np.asarray(images), int(step))
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl:
+            self._jsonl.close()
         if self._tb:
             self._tb.close()

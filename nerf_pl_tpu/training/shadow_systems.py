@@ -218,13 +218,14 @@ class EfficientSMSystem(_ShadowSystemBase):
             # (train_efficient_sm.py:191, losses.py:40-42) — i.e. its first
             # B entries partitioned by the batch targets
             b = rgbs.shape[0]
-            op_loss = opacity_loss(
-                {
-                    "opacity_coarse": light_depths["opacity_coarse"][:b],
-                    "opacity_fine": light_depths["opacity_fine"][:b],
-                },
-                rgbs,
-            )
+            # the cache aliases opacity_fine = opacity_coarse when the light
+            # render has no fine pass; include the fine term only when it is
+            # a real fine render (reference adds it only when present,
+            # losses.py:50-51 there) to avoid double-counting
+            op_in = {"opacity_coarse": light_depths["opacity_coarse"][:b]}
+            if light_n > 0:
+                op_in["opacity_fine"] = light_depths["opacity_fine"][:b]
+            op_loss = opacity_loss(op_in, rgbs)
             return loss, (psnr, op_loss)
 
         def device_epoch(
@@ -240,20 +241,26 @@ class EfficientSMSystem(_ShadowSystemBase):
                 gstep = step0 + i
                 key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
                 kup, kstep = jax.random.split(key)
-                light_depths = jax.lax.cond(
-                    # i == 0: the cache buffer is zeroed at each epoch start,
-                    # so always refresh on the first step — otherwise epochs
-                    # whose step0 is not a k_update multiple would train
-                    # early steps against an all-zero light depth map
-                    (gstep % k_update == 0) | (i == 0),
-                    lambda p: jax.lax.stop_gradient(
-                        _light_cache_render(
-                            p, tables["light_rays"], kup, rkw_light
-                        )
-                    ),
-                    lambda p: light_depths,
-                    params,
-                )
+                # with grad_on_light the loss re-renders the light view with
+                # gradients enabled every step (reference renders it exactly
+                # once per step, train_efficient_sm.py:150-172), so refreshing
+                # the no-grad cache here would double the light-render cost
+                if not grad_on_light:
+                    light_depths = jax.lax.cond(
+                        # i == 0: the cache buffer is zeroed at each epoch
+                        # start, so always refresh on the first step —
+                        # otherwise epochs whose step0 is not a k_update
+                        # multiple would train early steps against an
+                        # all-zero light depth map
+                        (gstep % k_update == 0) | (i == 0),
+                        lambda p: jax.lax.stop_gradient(
+                            _light_cache_render(
+                                p, tables["light_rays"], kup, rkw_light
+                            )
+                        ),
+                        lambda p: light_depths,
+                        params,
+                    )
                 # contiguous slice batching (reference shuffle=False parity)
                 sl = i * B
                 batch = (
@@ -405,6 +412,8 @@ class EfficientSMSystem(_ShadowSystemBase):
     def _dump_val_images(self, epoch, out, rgbs, typ):
         """Per-epoch gt/rgb/depth/disp PNG dumps
         (reference ``train_efficient_sm.py:241-263``)."""
+        if not self.logger.primary:
+            return  # multi-host: PNG dumps are process-0 only
         import imageio.v2 as imageio
 
         W, H = self.cfg.img_wh
@@ -515,20 +524,26 @@ class RGBSMSystem(EfficientSMSystem):
                 gstep = step0 + i
                 key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
                 kup, kstep = jax.random.split(key)
-                light_depths = jax.lax.cond(
-                    # i == 0: the cache buffer is zeroed at each epoch start,
-                    # so always refresh on the first step — otherwise epochs
-                    # whose step0 is not a k_update multiple would train
-                    # early steps against an all-zero light depth map
-                    (gstep % k_update == 0) | (i == 0),
-                    lambda p: jax.lax.stop_gradient(
-                        _light_cache_render(
-                            p, tables["light_rays"], kup, rkw_light
-                        )
-                    ),
-                    lambda p: light_depths,
-                    params,
-                )
+                # with grad_on_light the loss re-renders the light view with
+                # gradients enabled every step (reference renders it exactly
+                # once per step, train_efficient_sm.py:150-172), so refreshing
+                # the no-grad cache here would double the light-render cost
+                if not grad_on_light:
+                    light_depths = jax.lax.cond(
+                        # i == 0: the cache buffer is zeroed at each epoch
+                        # start, so always refresh on the first step —
+                        # otherwise epochs whose step0 is not a k_update
+                        # multiple would train early steps against an
+                        # all-zero light depth map
+                        (gstep % k_update == 0) | (i == 0),
+                        lambda p: jax.lax.stop_gradient(
+                            _light_cache_render(
+                                p, tables["light_rays"], kup, rkw_light
+                            )
+                        ),
+                        lambda p: light_depths,
+                        params,
+                    )
                 sl = i * B
                 batch = (
                     jax.lax.dynamic_slice_in_dim(rays, sl, B),
@@ -629,6 +644,7 @@ class RGBSMSystem(EfficientSMSystem):
         if max_images is not None:
             n_img = min(n_img, max_images)
         losses, psnrs, sm_psnrs = [], [], []
+        light_depths = None  # one light rig for all val frames: render once
         for i in range(n_img):
             s = self.val_dataset[i]
             self.rng, k1, k2 = jax.random.split(self.rng, 3)
@@ -636,14 +652,17 @@ class RGBSMSystem(EfficientSMSystem):
                 self.params, jnp.asarray(s["rays"]), k1, chunk=cfg.chunk,
                 mesh=self.mesh, **rkw,
             )
-            light_res = render_image(
-                self.params, jnp.asarray(s["light_rays"]), k2,
-                chunk=cfg.chunk, mesh=self.mesh, **rkw_light,
-            )
-            light_depths = {
-                "depth_coarse": light_res["depth_coarse"],
-                "depth_fine": light_res.get("depth_fine", light_res["depth_coarse"]),
-            }
+            if light_depths is None:
+                light_res = render_image(
+                    self.params, jnp.asarray(s["light_rays"]), k2,
+                    chunk=cfg.chunk, mesh=self.mesh, **rkw_light,
+                )
+                light_depths = {
+                    "depth_coarse": light_res["depth_coarse"],
+                    "depth_fine": light_res.get(
+                        "depth_fine", light_res["depth_coarse"]
+                    ),
+                }
             out = efficient_sm(
                 jnp.asarray(s["pixels"]), jnp.asarray(s["light_pixels"]),
                 cam_res, light_depths,
@@ -902,14 +921,17 @@ class ShadowMappingSystem:
         Bi = max(1, cfg.batch_size)
         optimizer = self.optimizer
 
-        def loss_fn(params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, key):
+        # light tables are passed as ARGUMENTS, never closed over: arrays
+        # captured by a jitted closure become program constants and blow the
+        # remote-compile upload limit at real resolutions (CLAUDE.md gotcha)
+        def loss_fn(params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, light, key):
             kc, kl = jax.random.split(key)
             flat = rays_b.reshape(-1, 8)
             cam_res = render_rays(
                 params.get("coarse"), params.get("fine"), flat, kc, **rkw
             )
             light_res = render_rays(
-                params.get("coarse"), params.get("fine"), self.light_rays,
+                params.get("coarse"), params.get("fine"), light["rays"],
                 kl, **rkw,
             )
             light_tiled = {
@@ -917,8 +939,8 @@ class ShadowMappingSystem:
                 if k.startswith("depth")
             }
             out = shadow_mapping_images(
-                cam_res, light_tiled, cam_ms_b, cam_eyes_b, self.light_m,
-                self.light_eye, image_shape, Bi, fine_sampling=fine,
+                cam_res, light_tiled, cam_ms_b, cam_eyes_b, light["m"],
+                light["eye"], image_shape, Bi, fine_sampling=fine,
                 shadow_method=cfg.shadow_method,
             )
             targets = rgbs_b.reshape(-1, 3)
@@ -927,9 +949,11 @@ class ShadowMappingSystem:
             return loss, psnr_metric(out[f"rgb_{typ}"], targets)
 
         @jax.jit
-        def step(params, opt_state, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, key):
+        def step(
+            params, opt_state, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, light, key
+        ):
             (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, key
+                params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, light, key
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -971,9 +995,15 @@ class ShadowMappingSystem:
             for s in range(self.steps_per_epoch):
                 idx = np.asarray([(s * Bi + k) % n for k in range(Bi)])
                 self.rng, key = jax.random.split(self.rng)
+                light = {
+                    "rays": self.light_rays,
+                    "m": self.light_m,
+                    "eye": self.light_eye,
+                }
                 self.params, self.opt_state, loss, psnr = self._step(
                     self.params, self.opt_state, self.rays[idx],
-                    self.rgbs[idx], self.cam_ms[idx], self.cam_eyes[idx], key,
+                    self.rgbs[idx], self.cam_ms[idx], self.cam_eyes[idx],
+                    light, key,
                 )
                 losses.append(float(loss))
                 psnrs.append(float(psnr))
