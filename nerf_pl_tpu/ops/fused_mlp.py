@@ -593,6 +593,231 @@ def _bwd_kernel_raw(*refs_list, sigma_only, n_blocks):
 
 RAW_COLS = 8
 
+# ---------------------------------------------------------------------------
+# Activation-stash backward ("checkpoint to HBM" instead of remat).
+#
+# The remat backward above re-runs the whole forward chain in VMEM before the
+# gradient sweep — ~1/3 of the backward's FLOPs at this architecture.  Here
+# the VJP-forward kernel additionally streams the activations the backward
+# needs to HBM (bf16, overlapped with compute by the Pallas grid pipeline),
+# and the backward kernel reads them back instead of recomputing:
+#   cols [0, D*W)            h1..h8 (post-relu trunk activations)
+#   cols [D*W, D*W+W)        fin  (xyz_final output)        — rgb mode only
+#   cols [D*W+W, D*W+W+WH)   d    (dir-head relu output)    — rgb mode only
+# x (the embedded tile) is recomputed from the 8 raw input columns (~1 tiny
+# matmul + one 96-lane sin — far cheaper than stashing 128 lanes), and rgb
+# is recomputed from d (one 128x128 matmul).  The stash dtype equals the
+# compute dtype, so wgrad operands are bit-identical to the remat kernel's
+# post-cast operands; only the relu masks see rounded values (sign-exact for
+# every normal float).  The PRIMAL forward (inference/eval) never writes a
+# stash — only the custom-VJP forward pays for it.
+# ---------------------------------------------------------------------------
+_STASH_HC = D * W              # 2048: trunk activations
+_STASH_RGB = _STASH_HC + W + WH  # 2432: + fin + d
+
+
+def _stash_cols(sigma_only):
+    return _STASH_HC if sigma_only else _STASH_RGB
+
+
+def _fwd_kernel_raw_stash(*refs_list, sigma_only):
+    x_ref = refs_list[0]
+    out_ref, stash_ref = refs_list[-2], refs_list[-1]
+    refs = dict(zip(_PKEYS, refs_list[1:-2]))
+    x = _embed_tile(x_ref[:].astype(jnp.float32))
+    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
+    sdt = stash_ref.dtype
+    pieces = [a.astype(sdt) for a in acts[1:]]
+    if sigma_only:
+        out_ref[:] = sigma
+    else:
+        fin, din, d, rgb = extras
+        pieces += [fin.astype(sdt), d.astype(sdt)]
+        out_ref[:] = jnp.concatenate(
+            [rgb[:, :3], sigma[:, :1],
+             jnp.zeros((x.shape[0], CIN - 4), jnp.float32)], axis=1
+        )
+    stash_ref[:] = jnp.concatenate(pieces, axis=1)
+
+
+def _bwd_kernel_raw_stash(*refs_list, sigma_only):
+    x_ref, g_ref, s_ref = refs_list[0], refs_list[1], refs_list[2]
+    refs = dict(zip(_PKEYS, refs_list[3 : 3 + len(_PKEYS)]))
+    outs = refs_list[3 + len(_PKEYS):]
+    dx_ref = outs[0]
+    grefs = dict(zip(_PKEYS, outs[1:]))
+    cdt = refs["w0"].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for k in _PKEYS:
+            grefs[k][:] = jnp.zeros_like(grefs[k])
+
+    x = _embed_tile(x_ref[:].astype(jnp.float32))
+    g_out = g_ref[:].astype(jnp.float32)
+
+    def act(i):  # acts[i] of the remat kernel; i=0 is the embedded input
+        if i == 0:
+            return x
+        return s_ref[:, (i - 1) * W : i * W]
+
+    h_last = act(D)
+
+    def wgrad(a, g):
+        return jax.lax.dot_general(
+            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if sigma_only:
+        g_sigma = g_out
+        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
+        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
+        g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
+    else:
+        fin = s_ref[:, _STASH_HC : _STASH_HC + W]
+        d = s_ref[:, _STASH_HC + W : _STASH_RGB]
+        # rgb recompute: same matmul (bf16 d x wrgb) the fwd ran
+        rgb = jax.nn.sigmoid(
+            _mm(d.astype(cdt), refs["wrgb"][:]) + refs["brgb"][:]
+        )
+        g_rgball = jnp.concatenate(
+            [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
+            axis=1,
+        )
+        g_sigma = jnp.concatenate(
+            [g_out[:, 3:4], jnp.zeros((x.shape[0], CIN - 1), jnp.float32)],
+            axis=1,
+        )
+        g_rgbpre = g_rgball * rgb * (1.0 - rgb)
+        grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
+        grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
+        g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
+        g_dpre = g_d * (d[:].astype(jnp.float32) > 0)
+        din = jnp.concatenate([fin[:].astype(jnp.float32), x], axis=1)
+        grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
+        grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
+        g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)
+        g_fin = g_din[:, :W]
+        grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
+        grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
+        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
+        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
+        g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
+            g_sigma.astype(cdt), refs["wsig"][:].T
+        )
+
+    for i in range(D - 1, -1, -1):
+        h_out = act(i + 1)
+        g_pre = g_h * (h_out[:].astype(jnp.float32) > 0)
+        a_in = act(i)
+        if i == SKIP:
+            a_in = jnp.concatenate([x, a_in[:].astype(jnp.float32)], axis=1)
+        grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
+        grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
+        g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
+        g_h = g_in[:, CIN:] if i == SKIP else g_in
+    dx_ref[:] = jnp.zeros_like(dx_ref)
+
+
+def _fused_raw_stash_fwd_call(packed, x_raw, sigma_only, block, interpret):
+    P = x_raw.shape[0]
+    grid = (P // block,)
+    sc = _stash_cols(sigma_only)
+    sdt = packed["w0"].dtype
+    kernel = functools.partial(_fwd_kernel_raw_stash, sigma_only=sigma_only)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_specs_for_params(packed),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, sc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, CIN), jnp.float32),
+            jax.ShapeDtypeStruct((P, sc), sdt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * 600_000,
+            bytes_accessed=4 * P * (RAW_COLS + 4)
+            + P * sc * np.dtype(sdt).itemsize,
+            transcendentals=2 * P * _NSCALE,
+        ),
+        interpret=interpret,
+    )(x_raw, *[packed[k] for k in _PKEYS])
+
+
+def _fused_raw_stash_bwd_call(packed, x_raw, stash, g, sigma_only, block,
+                              interpret):
+    P = x_raw.shape[0]
+    grid = (P // block,)
+    sc = _stash_cols(sigma_only)
+    kernel = functools.partial(_bwd_kernel_raw_stash, sigma_only=sigma_only)
+    out_shapes = [jax.ShapeDtypeStruct((P, RAW_COLS), jnp.float32)] + [
+        jax.ShapeDtypeStruct(packed[k].shape, jnp.float32) for k in _PKEYS
+    ]
+    out_specs = [
+        pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ] + _specs_for_params(packed)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, sc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_specs_for_params(packed),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * P * 600_000,
+            bytes_accessed=2 * P * sc + 4 * P * 2 * CIN,
+            transcendentals=2 * P * _NSCALE,
+        ),
+        interpret=interpret,
+    )(x_raw, g, stash, *[packed[k] for k in _PKEYS])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_apply_raw_stash(packed, x_raw, sigma_only: bool, blocks,
+                           interpret: bool):
+    # primal path: the ordinary (stashless) forward at its own block size
+    return _fused_raw_fwd_call(packed, x_raw, sigma_only, blocks[0],
+                               interpret)
+
+
+def _fused_raw_stash_fwd_rule(packed, x_raw, sigma_only, blocks, interpret):
+    out, stash = _fused_raw_stash_fwd_call(
+        packed, x_raw, sigma_only, blocks[1], interpret
+    )
+    return out, (packed, x_raw, stash)
+
+
+def _fused_raw_stash_bwd_rule(sigma_only, blocks, interpret, res, g):
+    packed, x_raw, stash = res
+    outs = _fused_raw_stash_bwd_call(
+        packed, x_raw, stash, g, sigma_only, blocks[2], interpret
+    )
+    gpacked = {k: v.astype(packed[k].dtype)
+               for k, v in zip(_PKEYS, outs[1:])}
+    return gpacked, outs[0]
+
+
+_fused_apply_raw_stash.defvjp(_fused_raw_stash_fwd_rule,
+                              _fused_raw_stash_bwd_rule)
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _fused_apply_raw(packed, x_raw, sigma_only: bool, block,
@@ -679,6 +904,13 @@ def _fused_raw_bwd_rule(sigma_only, block, interpret, res, g):
 _fused_apply_raw.defvjp(_fused_raw_fwd_rule, _fused_raw_bwd_rule)
 
 
+# Hardware-probed default for the activation-stash VJP (scripts/
+# kernel_probe.py, v5e): fwd+bwd 30.1 ms at the 786k-pt fine pass vs
+# 34.8 ms for the remat backward — the stash write costs ~1 ms in the
+# VJP forward and the backward becomes pure dgrad+wgrad compute.
+DEFAULT_STASH_BLOCKS = (768, 768)
+
+
 def fused_nerf_apply_raw(
     params,
     xyz: jnp.ndarray,  # (P, 3) RAW positions
@@ -686,12 +918,23 @@ def fused_nerf_apply_raw(
     compute_dtype=jnp.bfloat16,
     block=(2048, 768),  # (fwd, bwd) point-block sizes; bwd is VMEM-heavier
     interpret: bool = False,
+    stash_blocks="auto",  # (vjp_fwd, bwd) -> activation-stash backward
 ):
     """Fused MLP with IN-KERNEL positional encoding (see layout note above).
     Same outputs as ``posenc + nerf_apply``; input cotangents are zero
-    (rays are data — the renderer never differentiates w.r.t. them)."""
+    (rays are data — the renderer never differentiates w.r.t. them).
+
+    ``stash_blocks=(vjp_fwd_block, bwd_block)`` selects the activation-stash
+    backward (no remat): the differentiated forward also writes a
+    compute-dtype activation stash to HBM and the backward reads it back.
+    The primal forward (inference) is unaffected and uses ``block[0]``.
+    Default ``"auto"`` = ``DEFAULT_STASH_BLOCKS``; pass ``None`` for the
+    remat backward.
+    """
     P = xyz.shape[0]
     sigma_only = dirs is None
+    if stash_blocks == "auto":
+        stash_blocks = DEFAULT_STASH_BLOCKS
     parts = [xyz.astype(jnp.float32)]
     parts.append(
         jnp.zeros((P, 3), jnp.float32) if sigma_only else dirs.astype(jnp.float32)
@@ -699,12 +942,21 @@ def fused_nerf_apply_raw(
     parts.append(jnp.zeros((P, RAW_COLS - 6), jnp.float32))
     x_raw = jnp.concatenate(parts, axis=1)
     bf, bb = _blocks(block)
-    pad_to = bf * bb // np.gcd(bf, bb)
+    all_blocks = [bf, bb] + (list(stash_blocks) if stash_blocks else [])
+    pad_to = 1
+    for b in all_blocks:
+        pad_to = pad_to * b // np.gcd(pad_to, b)
     pad_rows = (-P) % pad_to
     if pad_rows:
         x_raw = jnp.pad(x_raw, ((0, pad_rows), (0, 0)))
     packed = pack_params_raw(params, compute_dtype)
-    out = _fused_apply_raw(packed, x_raw, sigma_only, block, interpret)[:P]
+    if stash_blocks is not None:
+        out = _fused_apply_raw_stash(
+            packed, x_raw, sigma_only,
+            (bf, stash_blocks[0], stash_blocks[1]), interpret,
+        )[:P]
+    else:
+        out = _fused_apply_raw(packed, x_raw, sigma_only, block, interpret)[:P]
     if sigma_only:
         return out[:, :1]
     return jnp.concatenate([out[:, :3], out[:, 3:4]], axis=1)

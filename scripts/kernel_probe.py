@@ -127,10 +127,10 @@ def main():
 
         return step
 
-    def raw_grad(bf, bb):
+    def raw_grad(bf, bb, stash=None):
         def loss(p, c):
             out = fm.fused_nerf_apply_raw(p, xyz + c * 1e-20, dirs,
-                                          block=(bf, bb))
+                                          block=(bf, bb), stash_blocks=stash)
             return jnp.mean(out**2)
 
         def step(c, _):
@@ -150,6 +150,9 @@ def main():
     timeit("raw fwd block=1024", raw_fwd(1024), fwd_flops)
     timeit("raw fwd+bwd blocks=(2048,768)", raw_grad(2048, 768),
            4 * fwd_flops)
+    for sf, sb in ((512, 512), (768, 512), (768, 768), (1024, 512)):
+        timeit(f"raw fwd+bwd STASH blocks=({sf},{sb})",
+               raw_grad(2048, 768, stash=(sf, sb)), 4 * fwd_flops)
 
 
 if __name__ == "__main__":

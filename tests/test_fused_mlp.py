@@ -137,3 +137,35 @@ def test_render_rays_fused_interpret_matches_unfused(setup, monkeypatch):
             # majority of rays to match tightly instead of all
             close = np.isclose(av, bv, rtol=5e-4, atol=5e-4)
             assert close.mean() > 0.85, (k, close.mean())
+
+
+def test_stash_vjp_matches_remat_and_reference(setup):
+    """The activation-stash backward (fused_mlp stash_blocks) must produce
+    the same gradients as both the remat backward and the XLA oracle —
+    covering rgb and sigma-only modes (the fwd kernel stashes h1..h8
+    [+fin, d] and the bwd reads them instead of recomputing)."""
+    from nerf_pl_tpu.ops.fused_mlp import fused_nerf_apply_raw
+
+    p, _ = setup
+    key = jax.random.PRNGKey(11)
+    xyz = jax.random.normal(key, (200, 3)) * 0.5
+    dirs = jax.random.normal(jax.random.fold_in(key, 1), (200, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    for sigma_only in (False, True):
+        d_in = None if sigma_only else dirs
+
+        def loss(p, stash):
+            out = fused_nerf_apply_raw(
+                p, xyz, d_in, compute_dtype=jnp.float32, block=(64, 32),
+                interpret=True, stash_blocks=stash,
+            )
+            return jnp.mean(out ** 2)
+
+        g_stash = jax.grad(functools.partial(loss, stash=(96, 48)))(p)
+        g_remat = jax.grad(functools.partial(loss, stash=None))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_stash),
+                        jax.tree_util.tree_leaves(g_remat)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
