@@ -909,6 +909,11 @@ _fused_apply_raw.defvjp(_fused_raw_fwd_rule, _fused_raw_bwd_rule)
 # 34.8 ms for the remat backward — the stash write costs ~1 ms in the
 # VJP forward and the backward becomes pure dgrad+wgrad compute.
 DEFAULT_STASH_BLOCKS = (768, 768)
+# The stash is (P, 2432) compute-dtype in HBM (~4.9 KB/pt bf16) and both
+# the coarse and fine passes' stashes are live across the loss — past this
+# point count "auto" falls back to the remat backward instead of OOMing
+# a 16 GB chip (e.g. batch 16384 x 192 fine samples = 3.1M pts = 14 GB).
+STASH_MAX_POINTS = 2_000_000
 
 
 def fused_nerf_apply_raw(
@@ -934,7 +939,7 @@ def fused_nerf_apply_raw(
     P = xyz.shape[0]
     sigma_only = dirs is None
     if stash_blocks == "auto":
-        stash_blocks = DEFAULT_STASH_BLOCKS
+        stash_blocks = DEFAULT_STASH_BLOCKS if P <= STASH_MAX_POINTS else None
     parts = [xyz.astype(jnp.float32)]
     parts.append(
         jnp.zeros((P, 3), jnp.float32) if sigma_only else dirs.astype(jnp.float32)
