@@ -86,7 +86,10 @@ def main():
     best = 0.0
     for dtype in (jnp.bfloat16, jnp.float32):
         try:
-            best = bench(batch=4096, iters=20, compute_dtype=dtype)
+            # 50 iters ≈ 2 s timed at current speed — long enough that the
+            # single dispatch's ~80 ms tunnel overhead stops shaving ~2%
+            # off the steady-state number the real trainer sustains
+            best = bench(batch=4096, iters=50, compute_dtype=dtype)
             break
         except Exception as e:  # noqa: BLE001 — report what we can
             # diagnostics go to stderr: stdout is contractually ONE json line
