@@ -127,6 +127,55 @@ def shadow_map_view(c2w, wh, focal):
 
 
 
+def generate_llff_scene(out_dir, img_wh=(64, 48), n_views=20,
+                        distance=4.5, camera_angle_x=0.8):
+    """Write the same analytic scene in LLFF layout (``images/*.png`` +
+    ``poses_bounds.npy``): a forward-facing camera fan looking at the
+    sphere from one side — the geometry ``data/llff.py`` expects
+    (poses stored in COLMAP's "down right back" convention with an
+    ``[H, W, focal]`` column and per-image depth bounds,
+    reference ``datasets/llff.py:177-198``)."""
+    from PIL import Image
+
+    from ..ops.ray_utils import get_ray_directions, get_rays
+
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    w, h = img_wh
+    focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
+    rows = []
+    for i in range(n_views):
+        # lateral fan + small height jitter; all looking at the origin
+        # (forward-facing => valid for the NDC ray warp)
+        t = (i / max(n_views - 1, 1)) - 0.5
+        eye = np.array(
+            [2.4 * t, 0.4 + 0.5 * np.sin(4 * np.pi * t), distance],
+            np.float32,
+        )
+        c2w = look_at(eye)
+        dirs = get_ray_directions(h, w, focal)
+        o, d = get_rays(dirs, c2w[:3, :4])
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        rgb, _ = shade(o, d)
+        Image.fromarray(
+            (rgb.reshape(h, w, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(out_dir, "images", f"{i:03d}.png"))
+        # depth bounds along the view: geometry spans the ground disc
+        near = max(0.5, float(eye[2]) - GROUND_R - 1.0)
+        far = float(np.linalg.norm(eye)) + GROUND_R + 1.0
+        # store columns [down, right, back, eye | hwf]
+        down, right, back = -c2w[:3, 1], c2w[:3, 0], c2w[:3, 2]
+        pose = np.stack([down, right, back, eye], 1)
+        hwf = np.array([[h], [w], [focal]], np.float32)
+        rows.append(
+            np.concatenate(
+                [np.concatenate([pose, hwf], 1).reshape(-1), [near, far]]
+            )
+        )
+    np.save(os.path.join(out_dir, "poses_bounds.npy"),
+            np.stack(rows).astype(np.float64))
+    return out_dir
+
+
 def generate_scene(out_dir, img_wh=64, n_train=20, n_val=2, n_test=2,
                    radius=4.5, camera_angle_x=0.8):
     """Write a complete scene; returns out_dir."""

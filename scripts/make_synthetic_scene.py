@@ -25,7 +25,20 @@ def main():
     ap.add_argument("--n_test", type=int, default=2)
     ap.add_argument("--radius", type=float, default=4.5)
     ap.add_argument("--camera_angle_x", type=float, default=0.8)
+    ap.add_argument("--format", choices=["blender", "llff"], default="blender",
+                    help="llff: images/ + poses_bounds.npy forward-facing fan")
+    ap.add_argument("--img_h", type=int, default=None,
+                    help="llff only: image height (default 3/4 of --img_wh)")
     args = ap.parse_args()
+    if args.format == "llff":
+        from nerf_pl_tpu.data.synthetic import generate_llff_scene
+
+        h = args.img_h or (args.img_wh * 3 // 4)
+        generate_llff_scene(args.out, (args.img_wh, h), args.n_train,
+                            args.radius, args.camera_angle_x)
+        print(f"wrote {args.out} (llff, {args.n_train} views @ "
+              f"{args.img_wh}x{h})")
+        return
     generate_scene(args.out, args.img_wh, args.n_train, args.n_val,
                    args.n_test, args.radius, args.camera_angle_x)
     print(f"wrote {args.out} ({args.n_train}+{args.n_val}+{args.n_test} "
