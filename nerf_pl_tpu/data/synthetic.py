@@ -128,13 +128,16 @@ def shadow_map_view(c2w, wh, focal):
 
 
 def generate_llff_scene(out_dir, img_wh=(64, 48), n_views=20,
-                        distance=4.5, camera_angle_x=0.8):
+                        distance=4.5, camera_angle_x=0.8,
+                        spheric: bool = False):
     """Write the same analytic scene in LLFF layout (``images/*.png`` +
     ``poses_bounds.npy``): a forward-facing camera fan looking at the
     sphere from one side — the geometry ``data/llff.py`` expects
     (poses stored in COLMAP's "down right back" convention with an
     ``[H, W, focal]`` column and per-image depth bounds,
-    reference ``datasets/llff.py:177-198``)."""
+    reference ``datasets/llff.py:177-198``).  ``spheric=True`` places the
+    cameras on a full inward-facing ring instead (train with
+    ``--spheric_poses``: no NDC warp, near/far from the bounds)."""
     from PIL import Image
 
     from ..ops.ray_utils import get_ray_directions, get_rays
@@ -144,13 +147,22 @@ def generate_llff_scene(out_dir, img_wh=(64, 48), n_views=20,
     focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
     rows = []
     for i in range(n_views):
-        # lateral fan + small height jitter; all looking at the origin
-        # (forward-facing => valid for the NDC ray warp)
-        t = (i / max(n_views - 1, 1)) - 0.5
-        eye = np.array(
-            [2.4 * t, 0.4 + 0.5 * np.sin(4 * np.pi * t), distance],
-            np.float32,
-        )
+        if spheric:
+            theta = 2 * np.pi * i / max(n_views, 1)
+            eye = np.array(
+                [distance * np.sin(theta),
+                 1.0 + 0.5 * np.sin(2 * theta),
+                 distance * np.cos(theta)],
+                np.float32,
+            )
+        else:
+            # lateral fan + small height jitter; all looking at the origin
+            # (forward-facing => valid for the NDC ray warp)
+            t = (i / max(n_views - 1, 1)) - 0.5
+            eye = np.array(
+                [2.4 * t, 0.4 + 0.5 * np.sin(4 * np.pi * t), distance],
+                np.float32,
+            )
         c2w = look_at(eye)
         dirs = get_ray_directions(h, w, focal)
         o, d = get_rays(dirs, c2w[:3, :4])
@@ -159,9 +171,15 @@ def generate_llff_scene(out_dir, img_wh=(64, 48), n_views=20,
         Image.fromarray(
             (rgb.reshape(h, w, 3) * 255).astype(np.uint8)
         ).save(os.path.join(out_dir, "images", f"{i:03d}.png"))
-        # depth bounds along the view: geometry spans the ground disc
-        near = max(0.5, float(eye[2]) - GROUND_R - 1.0)
-        far = float(np.linalg.norm(eye)) + GROUND_R + 1.0
+        # exact per-view depth bounds from the analytic tracer (COLMAP
+        # derives these from the sparse points; a heuristic here once cut
+        # `far` short of the scene for ring cameras and sank spheric val)
+        t = np.minimum(ray_sphere(o, d), ray_ground(o, d))
+        t = t[np.isfinite(t)]
+        if len(t):
+            near, far = 0.9 * float(t.min()), 1.1 * float(t.max())
+        else:
+            near, far = 1.0, 2.0 * float(np.linalg.norm(eye))
         # store columns [down, right, back, eye | hwf]
         down, right, back = -c2w[:3, 1], c2w[:3, 0], c2w[:3, 2]
         pose = np.stack([down, right, back, eye], 1)

@@ -29,14 +29,19 @@ def main():
                     help="llff: images/ + poses_bounds.npy forward-facing fan")
     ap.add_argument("--img_h", type=int, default=None,
                     help="llff only: image height (default 3/4 of --img_wh)")
+    ap.add_argument("--spheric", action="store_true",
+                    help="llff only: inward-facing 360 ring (train with "
+                    "--spheric_poses)")
     args = ap.parse_args()
     if args.format == "llff":
         from nerf_pl_tpu.data.synthetic import generate_llff_scene
 
         h = args.img_h or (args.img_wh * 3 // 4)
         generate_llff_scene(args.out, (args.img_wh, h), args.n_train,
-                            args.radius, args.camera_angle_x)
-        print(f"wrote {args.out} (llff, {args.n_train} views @ "
+                            args.radius, args.camera_angle_x,
+                            spheric=args.spheric)
+        kind = "llff-spheric" if args.spheric else "llff"
+        print(f"wrote {args.out} ({kind}, {args.n_train} views @ "
               f"{args.img_wh}x{h})")
         return
     generate_scene(args.out, args.img_wh, args.n_train, args.n_val,

@@ -121,3 +121,24 @@ def test_generate_llff_scene_loads(tmp_path):
     # NDC warp: ray origins live on the near plane (z == 0 after warp)
     np.testing.assert_allclose(ds.all_rays[:, 6], 0.0)  # near
     np.testing.assert_allclose(ds.all_rays[:, 7], 1.0)  # far
+
+
+def test_generate_llff_scene_spheric(tmp_path):
+    """Spheric variant: inward ring + --spheric_poses semantics (no NDC;
+    near = min bound, far = min(8*near, max bound))."""
+    from nerf_pl_tpu.data.synthetic import generate_llff_scene
+
+    root = generate_llff_scene(str(tmp_path / "s"), img_wh=(32, 24),
+                               n_views=8, spheric=True)
+    ds = LLFFDataset(root, split="train", img_wh=(32, 24),
+                     spheric_poses=True)
+    near = ds.all_rays[0, 6]
+    far = ds.all_rays[0, 7]
+    assert near > 0 and far > near
+    np.testing.assert_allclose(near, ds.bounds.min(), rtol=1e-5)
+    np.testing.assert_allclose(
+        far, min(8 * ds.bounds.min(), ds.bounds.max()), rtol=1e-5
+    )
+    # spheric test split follows the spheric circle path
+    te = LLFFDataset(root, split="test", img_wh=(32, 24), spheric_poses=True)
+    assert len(te) == 120
