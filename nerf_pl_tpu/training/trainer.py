@@ -76,8 +76,17 @@ def make_epoch_fn(
     white_back: bool,
     mode: str = "rgb",
     loss_name: str = "mse",
+    host_shuffled: bool = False,
 ):
-    """Build the jitted one-epoch program (see module docstring)."""
+    """Build the jitted one-epoch program (see module docstring).
+
+    ``host_shuffled=True`` builds the HOST-STREAMING variant: the rows
+    arrive already shuffled (by the native C++ ray store's epoch
+    permutation), so each device consumes contiguous ``B``-slices instead
+    of drawing an on-device permutation.  The same compiled program serves
+    any slab length — ``steps`` comes from the row count — which is how
+    ``_run_streaming_epoch`` amortizes ONE dispatch over many optimizer
+    steps (per-step dispatch costs ~20 ms through a remote tunnel)."""
     loss_fn_inner = loss_dict[loss_name]
     rkw = render_kwargs_from_cfg(cfg, white_back, train=True)
     B = cfg.batch_size
@@ -102,13 +111,17 @@ def make_epoch_fn(
         # d+1's shuffle key (fold_in(k, d+1) would collide otherwise)
         perm_key = jax.random.fold_in(jax.random.fold_in(epoch_key, 0), dev)
         step_base = jax.random.fold_in(jax.random.fold_in(epoch_key, 1), dev)
-        perm = jax.random.permutation(perm_key, n_loc)
+        perm = None if host_shuffled else jax.random.permutation(perm_key, n_loc)
 
         def body(carry, i):
             params, opt_state = carry
-            idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
-            rb = rays[idx]
-            cb = rgbs[idx]
+            if host_shuffled:
+                rb = jax.lax.dynamic_slice_in_dim(rays, i * B, B)
+                cb = jax.lax.dynamic_slice_in_dim(rgbs, i * B, B)
+            else:
+                idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+                rb = rays[idx]
+                cb = rgbs[idx]
             key = jax.random.fold_in(step_base, i)
             (loss, psnr), grads = jax.value_and_grad(
                 loss_and_metrics, has_aux=True
@@ -127,51 +140,6 @@ def make_epoch_fn(
 
     fn = shard_map(
         device_epoch,
-        mesh,
-        in_specs=(P(), P(), P("rays"), P("rays"), P()),
-        out_specs=(P(), P(), P(), P()),
-    )
-    return jax.jit(fn, donate_argnums=(0, 1))
-
-
-def make_step_fn(
-    cfg: Config,
-    mesh,
-    optimizer: optax.GradientTransformation,
-    white_back: bool,
-    mode: str = "rgb",
-    loss_name: str = "mse",
-):
-    """Single sharded train step for HOST-STREAMING mode
-    (``data_device_resident=False``): batches arrive from the native
-    C++ ray store (``data.native.RayStore``) instead of living in HBM —
-    the path for datasets larger than device memory."""
-    loss_fn_inner = loss_dict[loss_name]
-    rkw = render_kwargs_from_cfg(cfg, white_back, train=True)
-    target_key = {"rgb": "rgb", "sigma": "depth", "rgb_disp": "rgb"}[mode]
-
-    def loss_and_metrics(params, rays, rgbs, key):
-        results = render_rays(
-            params.get("coarse"), params.get("fine"), rays, key, mode=mode, **rkw
-        )
-        loss = loss_fn_inner(results, rgbs)
-        typ = "fine" if f"{target_key}_fine" in results else "coarse"
-        return loss, psnr_metric(results[f"{target_key}_{typ}"], rgbs)
-
-    def device_step(params, opt_state, rays, rgbs, key):
-        dev = jax.lax.axis_index("rays")
-        (loss, psnr), grads = jax.value_and_grad(
-            loss_and_metrics, has_aux=True
-        )(params, rays, rgbs, jax.random.fold_in(key, dev))
-        grads = jax.lax.pmean(grads, "rays")
-        loss = jax.lax.pmean(loss, "rays")
-        psnr = jax.lax.pmean(psnr, "rays")
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, psnr
-
-    fn = shard_map(
-        device_step,
         mesh,
         in_specs=(P(), P(), P("rays"), P("rays"), P()),
         out_specs=(P(), P(), P(), P()),
@@ -212,11 +180,17 @@ class NeRFSystem:
         self.ckpt_root = os.path.join(cfg.ckpt_dir, cfg.exp_name)
         self._topk: list = []  # (val_loss, path)
 
+    # host-streaming: optimizer steps per dispatch (per-dispatch overhead is
+    # ~20 ms through a remote-tunneled backend, so single-step dispatching
+    # caps streaming throughput at well under half the device-resident rate)
+    STREAM_SLAB_STEPS = 16
+
     def _build_epoch_fn(self):
         if self.ray_store is not None:
-            self._step_fn = make_step_fn(
+            # one program serves every slab length (steps come from shape)
+            self._slab_fn = make_epoch_fn(
                 self.cfg, self.mesh, self.optimizer, self.white_back,
-                mode=self.mode, loss_name=self.loss_name,
+                mode=self.mode, loss_name=self.loss_name, host_shuffled=True,
             )
             return None
         return make_epoch_fn(
@@ -229,7 +203,16 @@ class NeRFSystem:
         )
 
     def _run_streaming_epoch(self, epoch: int, epoch_key):
-        """Host loop: native-store batches -> sharded single-step jit."""
+        """Host loop: native-store batches -> sharded multi-step slab jit.
+
+        Each dispatch consumes ``STREAM_SLAB_STEPS`` host-shuffled global
+        batches stacked into one ``P('rays')`` slab; on-device the slab is
+        scanned in contiguous per-device ``B``-slices.  Every permutation
+        row is consumed exactly once per epoch (as with single-step
+        dispatch); only the grouping of rows into optimizer steps differs —
+        equivalent in distribution since the store's epoch permutation is
+        uniform. (At most two program shapes compile: the full slab and one
+        remainder slab.)"""
         from jax.sharding import NamedSharding
 
         cfg = self.cfg
@@ -237,25 +220,42 @@ class NeRFSystem:
         gb = cfg.batch_size * d
         sh = NamedSharding(self.mesh, P("rays"))
         losses, psnrs = [], []
-        for step in range(self.steps_per_epoch):
-            rows = self.ray_store.fill_batch(epoch, step, gb)
-            if len(rows) < gb:
+        step = 0
+        slab_i = 0
+        while step < self.steps_per_epoch:
+            k = min(self.STREAM_SLAB_STEPS, self.steps_per_epoch - step)
+            blocks = []
+            for j in range(k):
+                rows = self.ray_store.fill_batch(epoch, step + j, gb)
+                if len(rows) < gb:
+                    break
+                blocks.append(rows)
+            if not blocks:
                 break
+            rows = blocks[0] if len(blocks) == 1 else np.concatenate(blocks)
             rays_np, rgbs_np = self.ray_store.split(rows)
             # device_put numpy DIRECTLY with the sharding: each device gets
             # only its shard from host memory (jnp.asarray first would
             # commit the whole batch to device 0 and reshard device-side)
             rays = jax.device_put(np.ascontiguousarray(rays_np), sh)
             rgbs = jax.device_put(np.ascontiguousarray(rgbs_np), sh)
-            self.params, self.opt_state, loss, psnr = self._step_fn(
+            self.params, self.opt_state, loss_k, psnr_k = self._slab_fn(
                 self.params, self.opt_state, rays, rgbs,
-                jax.random.fold_in(epoch_key, step),
+                jax.random.fold_in(epoch_key, slab_i),
             )
-            losses.append(loss)
-            psnrs.append(psnr)
+            # keep device arrays: converting here would sync and stall the
+            # next slab's host-side gather behind the device compute
+            losses.append(loss_k)
+            psnrs.append(psnr_k)
+            step += len(blocks)
+            slab_i += 1
+            if len(blocks) < k:
+                break
+        if not losses:
+            return np.zeros(0), np.zeros(0)
         return (
-            np.asarray([float(l) for l in losses]),
-            np.asarray([float(p) for p in psnrs]),
+            np.concatenate([np.asarray(l) for l in losses]),
+            np.concatenate([np.asarray(p) for p in psnrs]),
         )
 
     # -- data ---------------------------------------------------------------
