@@ -7,8 +7,11 @@ per direction, which makes the whole train step HBM-bandwidth bound at
 ~40 TFLOP/s (measured) against a ~200 TFLOP/s bf16 MXU.  This kernel runs
 the ENTIRE MLP (8 hidden layers + skip concat + sigma/rgb heads,
 reference ``models/nerf.py:41-123``) for a block of points inside VMEM:
-HBM traffic per point drops to one 128-wide input read and one 4-wide
-output write (+ the weight set, resident across grid steps).
+HBM traffic per point drops to one narrow input read and one narrow
+output write (+ the weight set, resident across grid steps).  NOTE the
+(P, 8) ray-IO arrays are lane-padded to 128 by TPU tiled layouts (16x
+memory) — points-per-call is memory-bound at ~6M, which is why the
+whole-image renderer chunks at 32768 rays (``tools/render.py``).
 
 Design:
   * Points are blocked on the grid dimension; all weights use constant
@@ -19,10 +22,12 @@ Design:
     are zero; padded weight rows/cols are zero so results are exact.
   * The skip concat at layer 4 (``models/nerf.py:107-110``) and the
     dir-head concat become block-column matmuls on [x_tile | h].
-  * Backward is its own kernel (``custom_vjp``): it RECOMPUTES the forward
-    activations in VMEM (remat — cheaper than storing 8 layers to HBM),
-    then runs dgrad back down the stack and accumulates wgrads/bgrads into
-    revisited output blocks (zeroed at grid step 0).
+  * Backward is its own kernel (``custom_vjp``) running dgrad down the
+    stack and accumulating wgrads/bgrads into revisited output blocks
+    (zeroed at grid step 0).  Activations come from a compute-dtype HBM
+    stash written by the differentiated forward (default — see the stash
+    section below) or from an in-VMEM forward recompute (remat; auto
+    fallback past ``STASH_MAX_POINTS``).
   * Matmuls run in a configurable compute dtype (bf16 by default) with f32
     accumulation; wgrad accumulators are f32.
 
@@ -47,6 +52,11 @@ CD = 27  # dir embedding channels
 CIN = 128  # padded input tile (CX + CD = 90 -> 128)
 WH = 128  # dir-head hidden width (W // 2)
 SKIP = 4
+# output lanes: [rgb(3) | sigma(1) | zero pad]. 8, not CIN: a 128-lane
+# output is 12.9 GB at an eval-sized chunk (131072 rays x 192 samples)
+# and OOMed whole-image rendering; narrow lanes also shrink the training
+# cotangent the backward reads.
+OUT_COLS = 8
 
 
 def pack_params(params, compute_dtype=jnp.bfloat16):
@@ -167,13 +177,13 @@ def _fwd_kernel(*refs_list, sigma_only):
     x = x_ref[:].astype(jnp.float32)
     acts, sigma, extras = _fwd_body(refs, x, sigma_only)
     if sigma_only:
-        out_ref[:] = sigma
+        out_ref[:] = sigma[:, :OUT_COLS]  # col 0 live, padded cols are zero
     else:
         _, _, _, rgb = extras
         # out lanes: 0..2 rgb, 3 sigma, rest zero
         out = jnp.concatenate(
             [rgb[:, :3], sigma[:, :1],
-             jnp.zeros((x.shape[0], CIN - 4), jnp.float32)], axis=1
+             jnp.zeros((x.shape[0], OUT_COLS - 4), jnp.float32)], axis=1
         )
         out_ref[:] = out
 
@@ -203,7 +213,11 @@ def _bwd_kernel(*refs_list, sigma_only, n_blocks):
         )
 
     if sigma_only:
-        g_sigma = g_out  # (BP, CIN); only col 0 meaningful but pads are 0
+        # pad the OUT_COLS cotangent back to the CIN-wide head (col 0 live)
+        g_sigma = jnp.concatenate(
+            [g_out, jnp.zeros((x.shape[0], CIN - OUT_COLS), jnp.float32)],
+            axis=1,
+        )
         grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
         grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
         g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
@@ -275,7 +289,7 @@ def _fused_fwd_call(packed, x, sigma_only, block, interpret):
     P = x.shape[0]
     grid = (P // block,)
     kernel = functools.partial(_fwd_kernel, sigma_only=sigma_only)
-    out_cols = CIN
+    out_cols = OUT_COLS
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -319,7 +333,7 @@ def _fused_bwd_rule(sigma_only, block, interpret, res, g):
         in_specs=[
             pl.BlockSpec((block, CIN), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+            pl.BlockSpec((block, OUT_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_specs_for_params(packed),
         ],
@@ -510,12 +524,12 @@ def _fwd_kernel_raw(*refs_list, sigma_only):
     x = _embed_tile(x_ref[:].astype(jnp.float32))
     acts, sigma, extras = _fwd_body(refs, x, sigma_only)
     if sigma_only:
-        out_ref[:] = sigma
+        out_ref[:] = sigma[:, :OUT_COLS]
     else:
         _, _, _, rgb = extras
         out_ref[:] = jnp.concatenate(
             [rgb[:, :3], sigma[:, :1],
-             jnp.zeros((x.shape[0], CIN - 4), jnp.float32)], axis=1
+             jnp.zeros((x.shape[0], OUT_COLS - 4), jnp.float32)], axis=1
         )
 
 
@@ -547,7 +561,10 @@ def _bwd_kernel_raw(*refs_list, sigma_only, n_blocks):
         )
 
     if sigma_only:
-        g_sigma = g_out
+        g_sigma = jnp.concatenate(
+            [g_out, jnp.zeros((x.shape[0], CIN - OUT_COLS), jnp.float32)],
+            axis=1,
+        )
         grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
         grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
         g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
@@ -629,13 +646,13 @@ def _fwd_kernel_raw_stash(*refs_list, sigma_only):
     sdt = stash_ref.dtype
     pieces = [a.astype(sdt) for a in acts[1:]]
     if sigma_only:
-        out_ref[:] = sigma
+        out_ref[:] = sigma[:, :OUT_COLS]
     else:
         fin, din, d, rgb = extras
         pieces += [fin.astype(sdt), d.astype(sdt)]
         out_ref[:] = jnp.concatenate(
             [rgb[:, :3], sigma[:, :1],
-             jnp.zeros((x.shape[0], CIN - 4), jnp.float32)], axis=1
+             jnp.zeros((x.shape[0], OUT_COLS - 4), jnp.float32)], axis=1
         )
     stash_ref[:] = jnp.concatenate(pieces, axis=1)
 
@@ -670,7 +687,10 @@ def _bwd_kernel_raw_stash(*refs_list, sigma_only):
         )
 
     if sigma_only:
-        g_sigma = g_out
+        g_sigma = jnp.concatenate(
+            [g_out, jnp.zeros((x.shape[0], CIN - OUT_COLS), jnp.float32)],
+            axis=1,
+        )
         grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
         grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
         g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
@@ -735,13 +755,13 @@ def _fused_raw_stash_fwd_call(packed, x_raw, sigma_only, block, interpret):
             *_specs_for_params(packed),
         ],
         out_specs=[
-            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+            pl.BlockSpec((block, OUT_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, sc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((P, CIN), jnp.float32),
+            jax.ShapeDtypeStruct((P, OUT_COLS), jnp.float32),
             jax.ShapeDtypeStruct((P, sc), sdt),
         ],
         cost_estimate=pl.CostEstimate(
@@ -773,7 +793,7 @@ def _fused_raw_stash_bwd_call(packed, x_raw, stash, g, sigma_only, block,
         in_specs=[
             pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+            pl.BlockSpec((block, OUT_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, sc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -845,9 +865,9 @@ def _fused_raw_fwd_call(packed, x_raw, sigma_only, block, interpret):
                          memory_space=pltpu.VMEM),
             *_specs_for_params(packed),
         ],
-        out_specs=pl.BlockSpec((block, CIN), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block, OUT_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, CIN), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, OUT_COLS), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * P * 600_000, bytes_accessed=4 * P * (RAW_COLS + 4),
             transcendentals=2 * P * _NSCALE,
@@ -884,7 +904,7 @@ def _fused_raw_bwd_rule(sigma_only, block, interpret, res, g):
         in_specs=[
             pl.BlockSpec((block, RAW_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, CIN), lambda i: (i, 0),
+            pl.BlockSpec((block, OUT_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_specs_for_params(packed),
         ],

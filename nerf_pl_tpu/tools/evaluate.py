@@ -36,7 +36,11 @@ def get_opts(argv=None):
     parser.add_argument("--N_samples", type=int, default=64)
     parser.add_argument("--N_importance", type=int, default=128)
     parser.add_argument("--use_disp", default=False, action="store_true")
-    parser.add_argument("--chunk", type=int, default=32 * 1024 * 4)
+    # reference value (eval.py:65). Larger chunks are NOT faster here and a
+    # 131072-ray chunk OOMs: TPU tiled layouts pad the kernel's (P, 8)
+    # ray-input/output arrays to 128 lanes (16x), so points-per-chunk is
+    # memory-bound at ~6M
+    parser.add_argument("--chunk", type=int, default=32 * 1024)
     parser.add_argument("--ckpt_path", type=str, required=True)
     parser.add_argument("--save_depth", default=False, action="store_true")
     parser.add_argument("--depth_format", type=str, default="pfm",
