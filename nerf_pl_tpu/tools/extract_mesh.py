@@ -89,15 +89,24 @@ def query_sigma_grid(params_fine, xyz: np.ndarray, chunk: int) -> np.ndarray:
 
 
 def grid_vertices_to_world(vertices, N, x_range, y_range, z_range):
-    """Grid-index verts -> world, with the reference's x/y swap
-    (``extract_color_mesh.py:148-155``)."""
+    """Grid-index verts -> world.
+
+    The sigma grid comes from ``np.meshgrid(x, y, z)`` with the default
+    'xy' indexing, so grid axis 0 indexes y and axis 1 indexes x. The
+    reference performs this same axis swap (``extract_color_mesh.py:148-155``)
+    but applies the wrong range offsets when ``x_range != y_range`` (its
+    equal-range assert is commented out, ``extract_color_mesh.py:118``) —
+    documented fix per SURVEY §7: axis 1 maps through x_range and axis 0
+    through y_range, verified against an analytic-sphere oracle
+    (``tests/test_mesh_utils.py``, ``scripts/validate_mesh.py``).
+    """
     xmin, xmax = x_range
     ymin, ymax = y_range
     zmin, zmax = z_range
     v = vertices / N
     out = np.empty_like(v)
-    out[:, 0] = (ymax - ymin) * v[:, 1] + ymin
-    out[:, 1] = (xmax - xmin) * v[:, 0] + xmin
+    out[:, 0] = (xmax - xmin) * v[:, 1] + xmin  # grid axis 1 -> world x
+    out[:, 1] = (ymax - ymin) * v[:, 0] + ymin  # grid axis 0 -> world y
     out[:, 2] = (zmax - zmin) * v[:, 2] + zmin
     return out.astype(np.float32)
 
@@ -191,14 +200,13 @@ def run(args) -> str:
         # sigma_grid from meshgrid(x,y,z,'xy') has axes (y, x, z); gradients
         # come back per-axis as (d/dy, d/dx, d/dz)
         g_y, g_x, g_z = np.gradient(sigma_grid)
-        # exact inverse of grid_vertices_to_world (which carries the
-        # reference's x/y swap): grid axis 0 spans x_range but parameterizes
-        # world Y; grid axis 1 spans y_range and parameterizes world X
-        i0 = (vertices_w[:, 1] - args.x_range[0]) / (
-            args.x_range[1] - args.x_range[0]
-        )
-        i1 = (vertices_w[:, 0] - args.y_range[0]) / (
+        # exact inverse of grid_vertices_to_world: grid axis 0 indexes
+        # world Y (y_range), grid axis 1 indexes world X (x_range)
+        i0 = (vertices_w[:, 1] - args.y_range[0]) / (
             args.y_range[1] - args.y_range[0]
+        )
+        i1 = (vertices_w[:, 0] - args.x_range[0]) / (
+            args.x_range[1] - args.x_range[0]
         )
         i2 = (vertices_w[:, 2] - args.z_range[0]) / (
             args.z_range[1] - args.z_range[0]
@@ -224,6 +232,34 @@ def run(args) -> str:
         non_occluded_sum = np.zeros((n_vert, 1))
         v_color_sum = np.zeros((n_vert, 3))
         print("Fusing colors ...")
+
+        # opacity-only render kept on device so dispatches pipeline: the
+        # remote-tunneled backend has ~0.5 s/call dispatch latency, so a
+        # fetch-per-chunk loop is latency-bound (n_views * n_chunks round
+        # trips); dispatching every view's chunks asynchronously and
+        # fetching afterwards overlaps that latency with device compute
+        @jax.jit
+        def occ_fn(p, r):
+            out = render_rays(
+                p.get("coarse"), p.get("fine"), r, None,
+                N_samples=args.N_samples, N_importance=0, perturb=0.0,
+                noise_std=0.0, white_back=dataset.white_back,
+                test_time=True, use_fused=jax.default_backend() == "tpu",
+            )
+            return out["opacity_coarse"]
+
+        chunk = args.chunk
+        pad = (-n_vert) % chunk
+        pending = []  # (colors, depth, opacity device chunks) per view
+
+        def drain_one():
+            colors, depth, chunks = pending.pop(0)
+            opacity = np.concatenate([np.asarray(c) for c in chunks])[:n_vert]
+            opacity = np.nan_to_num(opacity[:, None], nan=1.0)
+            non_occluded = np.ones_like(non_occluded_sum) * 0.1 / depth
+            non_occluded += opacity < args.occ_threshold
+            return colors * non_occluded, non_occluded
+
         for idx in range(len(dataset.image_paths)):
             image = Image.open(dataset.image_paths[idx]).convert("RGB")
             image = np.array(image.resize(tuple(args.img_wh), Image.LANCZOS))
@@ -251,15 +287,22 @@ def run(args) -> str:
             rays = np.concatenate([rays_o, rays_d, near, far], 1).astype(
                 np.float32
             )
-            results = _chunked_render(
-                params, rays, args.chunk, args.N_samples, 0,
-                dataset.white_back,
-            )
-            opacity = np.nan_to_num(results["opacity_coarse"][:, None], nan=1.0)
-            non_occluded = np.ones_like(non_occluded_sum) * 0.1 / depth
-            non_occluded += opacity < args.occ_threshold
-            v_color_sum += colors * non_occluded
-            non_occluded_sum += non_occluded
+            if pad:
+                rays = np.concatenate([rays, np.repeat(rays[-1:], pad, 0)], 0)
+            pending.append((colors, depth, [
+                occ_fn(params, jnp.asarray(rays[i : i + chunk]))
+                for i in range(0, len(rays), chunk)
+            ]))
+            # keep a window of views in flight: enough async dispatches to
+            # hide the tunnel latency, bounded device/host memory
+            if len(pending) > 8:
+                dc, dn = drain_one()
+                v_color_sum += dc
+                non_occluded_sum += dn
+        while pending:
+            dc, dn = drain_one()
+            v_color_sum += dc
+            non_occluded_sum += dn
         v_colors = v_color_sum / non_occluded_sum
 
     out_path = args.out_path or f"{args.scene_name}.ply"

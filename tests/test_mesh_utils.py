@@ -92,3 +92,25 @@ def test_vol_all_zero(tmp_path):
     save_vol(path, np.zeros((4, 4, 4), np.float32), (0, 1), (0, 1), (0, 1))
     back, _ = read_vol(path)
     assert (back == 0).all()
+
+
+def test_grid_vertices_to_world_asymmetric_ranges():
+    """Regression: the reference's x/y swap (extract_color_mesh.py:148-155)
+    applies the wrong range offsets when x_range != y_range (its equal-range
+    assert is commented out). Analytic oracle: an offset ball must land at
+    its true world center regardless of per-axis ranges."""
+    from nerf_pl_tpu.tools.extract_mesh import grid_vertices_to_world
+
+    xr, yr, zr = (-1.0, 1.0), (-0.5, 1.5), (-0.8, 1.2)
+    n = 64
+    x = np.linspace(*xr, n)
+    y = np.linspace(*yr, n)
+    z = np.linspace(*zr, n)
+    xyz = np.stack(np.meshgrid(x, y, z), -1).reshape(-1, 3)
+    c = np.array([0.3, 0.9, -0.2])
+    sigma = (np.linalg.norm(xyz - c, axis=1) < 0.4).astype(np.float32) * 10
+    v, t = marching_tetrahedra(sigma.reshape(n, n, n), 5.0)
+    w = grid_vertices_to_world(v, n, xr, yr, zr)
+    assert np.allclose(w.mean(0), c, atol=0.05)
+    r = np.linalg.norm(w - c, axis=1)
+    assert abs(r.mean() - 0.4) < 0.02 and r.std() < 0.05
