@@ -211,3 +211,32 @@ def test_eval_tool_coarse_only_checkpoint(blender_root, tmp_path):
     )
     mean_psnr = run(args)
     assert mean_psnr is not None and np.isfinite(mean_psnr)
+
+
+def test_extract_mesh_fusion_window(mesh_ckpt, tmp_path):
+    """Color fusion with >8 views exercises the in-flight dispatch window
+    (views drained mid-loop, not only in the final flush); the drain order
+    is FIFO either way, so results must be deterministic across runs."""
+    from nerf_pl_tpu.data.synthetic import generate_scene
+    from nerf_pl_tpu.tools.extract_mesh import get_opts, run
+    from nerf_pl_tpu.tools.mesh_utils import read_ply
+
+    root = generate_scene(
+        str(tmp_path / "scene10"), img_wh=16, n_train=10, n_val=1, n_test=1
+    )
+    thr = _surface_threshold(mesh_ckpt)
+    argv = [
+        "--root_dir", root, "--dataset_name", "blender",
+        "--img_wh", "16", "16", "--N_samples", "8", "--chunk", "512",
+        "--ckpt_path", mesh_ckpt, "--N_grid", "24",
+        "--sigma_threshold", str(thr),
+        "--blender_near", "1", "--blender_far", "12",
+    ]
+    out1 = str(tmp_path / "m1.ply")
+    out2 = str(tmp_path / "m2.ply")
+    run(get_opts(argv + ["--out_path", out1]))
+    run(get_opts(argv + ["--out_path", out2]))
+    v1, t1, c1 = read_ply(out1)
+    v2, t2, c2 = read_ply(out2)
+    assert len(v1) > 0 and c1 is not None
+    assert np.array_equal(v1, v2) and np.array_equal(c1, c2)
