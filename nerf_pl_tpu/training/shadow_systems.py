@@ -1032,7 +1032,14 @@ class ShadowMappingSystem:
 class ShadowsSystem(NeRFSystem):
     """RGB NeRF training on shadow datasets (reference ``train_shadows.py``
     — the vanilla loop pointed at the shadow loaders; effectively trains the
-    radiance field to reproduce the sm images)."""
+    radiance field to reproduce the sm images).
+
+    The reference additionally passes Lightning ``auto_scale_batch_size=True``
+    (``train_shadows.py:229``) — a GPU OOM-search that is intentionally not
+    reproduced: TPU programs are static-shape (a batch search would compile
+    one program per probe) and the flagship batch sizes here use a few
+    hundred MB of a 16 GB chip, so the search could only ever return the
+    configured batch."""
 
     def _prepare_data(self):
         cfg = self.cfg
