@@ -145,10 +145,17 @@ def make_handler(service: RenderService):
                 return
             if url.path == "/render":
                 q = parse_qs(url.query)
-                theta = float(q.get("theta", ["0"])[0])
-                radius = float(q.get("radius", ["4.0"])[0])
-                height = float(q.get("height", ["0.5"])[0])
-                wh = int(q.get("img_wh", [service.img_wh])[0])
+                try:
+                    theta = float(q.get("theta", ["0"])[0])
+                    radius = float(q.get("radius", ["4.0"])[0])
+                    height = float(q.get("height", ["0.5"])[0])
+                    wh = int(q.get("img_wh", [service.img_wh])[0])
+                except ValueError as e:
+                    # a malformed numeric param must be a 400, not an
+                    # unhandled handler exception (dropped connection)
+                    self._send(400, f"bad query param: {e}".encode(),
+                               "text/plain")
+                    return
                 fmt = q.get("format", ["png"])[0]
                 eye = [
                     radius * np.sin(theta), height, radius * np.cos(theta)
@@ -177,7 +184,7 @@ def make_handler(service: RenderService):
                 look_at = req.get("look_at", [0.0, 0.0, 0.0])
                 wh = int(req.get("img_wh", service.img_wh))
                 fmt = req.get("format", "png")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
                 return
             try:

@@ -78,6 +78,17 @@ def test_bad_request_and_404(server):
     assert e2.value.code == 404
 
 
+def test_malformed_query_param_is_400(server):
+    """Non-numeric query values must produce a 400 response, not an
+    unhandled handler exception (which drops the connection)."""
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{server}/render?theta=abc", timeout=60)
+    assert ei.value.code == 400
+    assert b"bad query param" in ei.value.read()
+
+
 def test_unwarmed_img_wh_rejected_fast(server):
     """A request-supplied size that wasn't warm-compiled at startup must be
     rejected with 400, not compile a fresh program under the device lock."""
