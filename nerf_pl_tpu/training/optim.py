@@ -45,16 +45,17 @@ def make_lr_schedule(
     eps = 1e-8
     milestones = jnp.asarray(sorted(decay_step), dtype=jnp.float32)
 
-    def base(epoch):
+    def base(epoch, peak_lr):
         if lr_scheduler == "steplr":
             n = jnp.sum(epoch >= milestones)
-            return lr * decay_gamma**n
+            return peak_lr * decay_gamma**n
         if lr_scheduler == "cosine":
-            return eps + (lr - eps) * 0.5 * (
+            # torch CosineAnnealingLR(eta_min=1e-8) closed form
+            return eps + (peak_lr - eps) * 0.5 * (
                 1.0 + jnp.cos(jnp.pi * epoch / num_epochs)
             )
         if lr_scheduler == "poly":
-            return lr * (1.0 - epoch / num_epochs) ** poly_exp
+            return peak_lr * (1.0 - epoch / num_epochs) ** poly_exp
         raise ValueError(f"scheduler {lr_scheduler!r} not recognized!")
 
     use_warmup = warmup_epochs > 0 and optimizer not in ("radam", "ranger")
@@ -62,12 +63,17 @@ def make_lr_schedule(
     def schedule(step):
         epoch = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
         if not use_warmup:
-            return base(epoch)
+            return base(epoch, lr)
         # GradualWarmupScheduler: ramp base_lr -> base_lr*multiplier over
-        # warmup_epochs, then run the base schedule scaled by the multiplier
-        # (utils/warmup_scheduler.py:24-33).
+        # warmup_epochs (utils/warmup_scheduler.py:24-33).  The reference
+        # wrapper's `finished` transition epoch still returns
+        # base_lr*multiplier and only starts stepping the after-scheduler the
+        # following epoch (warmup_scheduler.py:25-30,50-56), so the scaled
+        # base schedule lags the warmup end by ONE epoch — verified
+        # epoch-by-epoch against the reference in
+        # tests/test_reference_parity.py::test_lr_schedule_matches_reference.
         warm = lr * ((warmup_multiplier - 1.0) * epoch / warmup_epochs + 1.0)
-        after = warmup_multiplier * base(epoch - warmup_epochs)
+        after = base(epoch - warmup_epochs - 1.0, warmup_multiplier * lr)
         return jnp.where(epoch <= warmup_epochs, warm, after)
 
     return schedule
