@@ -69,34 +69,54 @@ def local_shard_size(n: int, mesh: Mesh) -> int:
     return n // d
 
 
-def shard_rays(buf: np.ndarray, mesh: Mesh) -> jax.Array:
+def shard_rays(buf: np.ndarray, mesh: Mesh, local: bool = False) -> jax.Array:
     """Place a (N, C) host buffer on the mesh sharded along rows.
 
     N is truncated to a multiple of the device count (at most ``D-1`` rays
     dropped per epoch — the same rounding DistributedSampler applies).
 
-    Multi-host (SURVEY.md §7 "host data pipeline at pod scale"): each host
-    passes only ITS rows — e.g. the rays of the image subset it loaded
-    (``buf[process_index::process_count]`` style splits) — and the global
-    array is assembled from per-process local shards without any host ever
-    materializing the full pod-scale buffer.
+    Multi-process placement has two source layouts:
+
+      * ``local=False`` (default — what the built-in loaders produce): every
+        host holds the SAME full global buffer; each host device_puts only
+        the global row-blocks its local devices own, so no cross-host copy
+        happens and every row lands exactly once.  (Assembling with
+        ``make_array_from_process_local_data`` here would be a silent
+        correctness bug: each process would contribute its FIRST rows as its
+        shard, duplicating the head of the dataset and dropping the tail.)
+      * ``local=True`` (SURVEY.md §7 "host data pipeline at pod scale"): each
+        host passes only ITS rows — e.g. the rays of the image subset it
+        loaded — and the global array is assembled from per-process local
+        shards without any host ever materializing the pod-scale buffer.
+        Hosts agree on the global MIN rows-per-device (subsets may differ in
+        size).
     """
     d = mesh.devices.size
     sharding = NamedSharding(mesh, P("rays"))
     if jax.process_count() > 1:
-        # every host must contribute the same rows-per-device or the global
-        # shape is inconsistent across processes — agree on the global MIN
-        # (hosts may have loaded image subsets of different sizes)
         from jax.experimental import multihost_utils
 
-        d_local = len(mesh.local_devices)
-        per_dev = int(
-            multihost_utils.process_allgather(
-                np.asarray(buf.shape[0] // d_local)
-            ).min()
-        )
-        return jax.make_array_from_process_local_data(
-            sharding, buf[: per_dev * d_local]
+        if local:
+            d_local = len(mesh.local_devices)
+            per_dev = int(
+                multihost_utils.process_allgather(
+                    np.asarray(buf.shape[0] // d_local)
+                ).min()
+            )
+            return jax.make_array_from_process_local_data(
+                sharding, buf[: per_dev * d_local]
+            )
+        per_dev = buf.shape[0] // d
+        flat = list(mesh.devices.flat)
+        pos = {dev: i for i, dev in enumerate(flat)}
+        shards = [
+            jax.device_put(
+                buf[pos[dev] * per_dev : (pos[dev] + 1) * per_dev], dev
+            )
+            for dev in mesh.local_devices
+        ]
+        return jax.make_array_from_single_device_arrays(
+            (per_dev * d,) + buf.shape[1:], sharding, shards
         )
     n = (buf.shape[0] // d) * d
     return jax.device_put(buf[:n], sharding)

@@ -85,9 +85,24 @@ def render_image(
     chunk, n_chunks, n_pad = plan_chunks(n, chunk, d)
     if n_pad:
         rays = jnp.concatenate([rays, jnp.broadcast_to(rays[-1:], (n_pad, rays.shape[-1]))])
+    # multi-process (one controller per host): inputs must be GLOBAL arrays —
+    # place the host-identical rays/key replicated on the mesh, and gather
+    # the sharded output back to replicated so every host can read the full
+    # image (eval/metrics run on every process in lockstep)
+    multiproc = mesh is not None and jax.process_count() > 1
+    if multiproc:
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(mesh, P())
+        rays = jax.device_put(rays, rep)
+        key = jax.device_put(key, rep)
     out = _render_image_jit(
         params, rays, key, chunk, tuple(sorted(render_kwargs.items())), mesh
     )
+    if multiproc:
+        # hand back host numpy: downstream eager math must not re-enter
+        # multi-device dispatch outside the processes' lockstep regions
+        out = jax.device_get(jax.jit(lambda t: t, out_shardings=rep)(out))
     if n_pad:
         out = {k: v[:n] for k, v in out.items()}
     return out

@@ -1,0 +1,105 @@
+"""Worker process for test_multiprocess.py — NOT a pytest module.
+
+Runs the REAL ``NeRFSystem`` under ``jax.distributed`` (2 processes x 4
+virtual CPU devices = an 8-device global mesh) and asserts, from inside the
+distributed program, the properties VERDICT.md round-1 item #2 demanded:
+
+  * ``shard_rays``'s ``process_count > 1`` branch assembles the correct
+    GLOBAL array (every source row exactly once, in order);
+  * a full ``fit()`` (epoch program + validation render + checkpoint/logging
+    gating) executes;
+  * the final params digest is written out so the parent can assert both
+    processes hold IDENTICAL weights (the reference's DDP invariant,
+    train.py:174-175).
+
+Usage: python mp_worker.py <process_id> <port> <scene_dir> <work_dir>
+"""
+import hashlib
+import json
+import os
+import sys
+
+
+def main():
+    pid, port, scene, work = (
+        int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    import numpy as np
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.parallel.mesh import make_mesh, shard_rays
+    from nerf_pl_tpu.training.trainer import NeRFSystem
+
+    # --- shard_rays global-buffer assembly (both layouts) -------------------
+    mesh = make_mesh()
+    src = np.arange(33 * 2, dtype=np.float32).reshape(33, 2)
+    arr = shard_rays(src, mesh)  # truncates to 32 rows over 8 devices
+    gathered = np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(arr)
+    )
+    np.testing.assert_array_equal(gathered, src[:32])
+    # per-host subset layout: host p contributes rows p::2
+    local_rows = src[:32][pid::2]
+    arr_l = shard_rays(local_rows, mesh, local=True)
+    gathered_l = np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(arr_l)
+    )
+    assert gathered_l.shape == (32, 2)
+    # every contributed row appears exactly once (order is host-interleaved)
+    assert {tuple(r) for r in gathered_l} == {tuple(r) for r in src[:32]}
+
+    # --- the real trainer ----------------------------------------------------
+    cfg = Config(
+        root_dir=scene, dataset_name="blender", img_wh=(16, 16),
+        N_samples=8, N_importance=8, batch_size=32, num_epochs=2,
+        chunk=256, lr=5e-3, blender_near=2.0, blender_far=6.0,
+        white_back=True, exp_name="mp", log_dir=os.path.join(work, "logs"),
+        ckpt_dir=os.path.join(work, "ckpts"), num_sanity_val_steps=1,
+        val_every_n_epochs=1, use_fused_mlp=False, compilation_cache=False,
+    )
+    system = NeRFSystem(cfg)
+    assert system.mesh.devices.size == 8
+
+    # the device-resident buffer holds the dataset rows exactly once
+    gathered = np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(system.mesh, P()))(
+            system.rays_buf
+        )
+    )
+    n = gathered.shape[0]
+    np.testing.assert_allclose(
+        gathered, system.train_dataset.all_rays[:n], rtol=0, atol=0
+    )
+
+    params = system.fit()
+
+    host_params = jax.device_get(params)
+    digest = hashlib.sha256(
+        b"".join(
+            np.ascontiguousarray(l).tobytes()
+            for l in jax.tree_util.tree_leaves(host_params)
+        )
+    ).hexdigest()
+    with open(os.path.join(work, f"result_{pid}.json"), "w") as f:
+        json.dump({"pid": pid, "digest": digest, "ok": True}, f)
+    print(f"[worker {pid}] done digest={digest[:12]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
