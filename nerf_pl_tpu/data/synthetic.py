@@ -237,3 +237,49 @@ def generate_scene(out_dir, img_wh=64, n_train=20, n_val=2, n_test=2,
         with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as f:
             json.dump(meta, f)
     return out_dir
+
+
+def generate_pyredner_scene(out_dir, img_wh=64, n_train=20, n_val=2,
+                            n_test=2, radius=4.5, camera_angle_x=0.8):
+    """PyRedner-format variant (reference ``datasets/pyredner2.py``): the
+    same ray-traced scene, but each pose is stored as an explicit
+    ``{'eye_pos', 'camera'}`` PPC dict (the loader re-derives the ray c2w by
+    look-at toward ``meta['look_at']``, ``pyredner2.py:103-112``) and every
+    frame carries its shadow map via ``sm_file_path``.  Exact by
+    construction: the generator's ``look_at`` is the same math as
+    ``camera.c2w_from_lookat``, so the loader's reconstructed c2w matches
+    the c2w the images were rendered from."""
+    from .shadow_common import posed_ppc
+
+    generate_scene(out_dir, img_wh, n_train, n_val, n_test, radius,
+                   camera_angle_x)
+    wh = (img_wh, img_wh)
+    for split in ("train", "val", "test"):
+        path = os.path.join(out_dir, f"transforms_{split}.json")
+        with open(path) as f:
+            meta = json.load(f)
+        frames = []
+        for fr in meta["frames"]:
+            c2w = np.asarray(fr["transform_matrix"], np.float32)[:3, :4]
+            cam, eye = posed_ppc(meta["camera_angle_x"], wh, c2w)
+            name = fr["file_path"].split("/")[-1]
+            frames.append({
+                "transform_matrix": {"eye_pos": eye.tolist(),
+                                     "camera": cam.tolist()},
+                "sm_file_path": f"sm_{name}.png",
+            })
+        l2w = np.asarray(
+            meta["light_camera_transform_matrix"], np.float32
+        )[:3, :4]
+        lcam, leye = posed_ppc(meta["light_camera_angle_x"], wh, l2w)
+        with open(path, "w") as f:
+            json.dump({
+                "camera_angle_x": meta["camera_angle_x"],
+                "light_camera_angle_x": meta["light_camera_angle_x"],
+                "light_camera_transform_matrix": {
+                    "eye_pos": leye.tolist(), "camera": lcam.tolist(),
+                },
+                "look_at": [0.0, 0.0, 0.0],
+                "frames": frames,
+            }, f)
+    return out_dir

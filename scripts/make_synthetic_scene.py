@@ -25,7 +25,8 @@ def main():
     ap.add_argument("--n_test", type=int, default=2)
     ap.add_argument("--radius", type=float, default=4.5)
     ap.add_argument("--camera_angle_x", type=float, default=0.8)
-    ap.add_argument("--format", choices=["blender", "llff"], default="blender",
+    ap.add_argument("--format", choices=["blender", "llff", "pyredner"],
+                    default="blender",
                     help="llff: images/ + poses_bounds.npy forward-facing fan")
     ap.add_argument("--img_h", type=int, default=None,
                     help="llff only: image height (default 3/4 of --img_wh)")
@@ -43,6 +44,15 @@ def main():
         kind = "llff-spheric" if args.spheric else "llff"
         print(f"wrote {args.out} ({kind}, {args.n_train} views @ "
               f"{args.img_wh}x{h})")
+        return
+    if args.format == "pyredner":
+        from nerf_pl_tpu.data.synthetic import generate_pyredner_scene
+
+        generate_pyredner_scene(args.out, args.img_wh, args.n_train,
+                                args.n_val, args.n_test, args.radius,
+                                args.camera_angle_x)
+        print(f"wrote {args.out} (pyredner, {args.n_train}+{args.n_val}+"
+              f"{args.n_test} views @ {args.img_wh}x{args.img_wh})")
         return
     generate_scene(args.out, args.img_wh, args.n_train, args.n_val,
                    args.n_test, args.radius, args.camera_angle_x)

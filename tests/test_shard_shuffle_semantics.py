@@ -1,0 +1,107 @@
+"""Sharding/shuffling semantics vs Lightning's DistributedSampler
+(VERDICT.md round-1 weak #3 / next-round #6).
+
+The epoch program permutes each device's FIXED contiguous shard
+(``trainer.py`` device_epoch), while Lightning's DistributedSampler
+reshuffles GLOBALLY each epoch — so with an image-contiguous ray buffer each
+chip here trains on the same view subset forever.  Because gradients are
+``pmean``-ed every step, each update still averages over all shards, so the
+*optimizer* sees an unbiased (if differently-stratified) batch mix.  This
+test backs that argument with a measurement instead of a comment: on a
+deliberately view-skewed buffer (rays sorted by image, 8 devices, <1 image
+per device) the fixed-shard trainer must converge to the same quality as a
+true global per-epoch reshuffle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.config import Config
+from nerf_pl_tpu.data.blender import BlenderDataset
+from nerf_pl_tpu.models.nerf import init_nerf
+from nerf_pl_tpu.ops.rendering import render_rays
+from nerf_pl_tpu.parallel.mesh import make_mesh, replicate, shard_rays
+from nerf_pl_tpu.training.optim import get_optimizer
+from nerf_pl_tpu.training.trainer import make_epoch_fn
+
+EPOCHS = 14
+BATCH = 8
+
+
+@pytest.fixture(scope="module")
+def setup(blender_root):
+    ds = BlenderDataset(str(blender_root), "train", img_wh=(16, 16),
+                        near=2.0, far=6.0, white_back=True)
+    # image-contiguous order IS the skew (6 images x 256 rays over 8 devices
+    # -> each device owns at most one viewpoint's rays, forever)
+    # lr 1e-3: 5e-3 relu-collapses the MLP on this scene within one epoch
+    # (loss frozen at the constant-color fixed point) regardless of shuffle
+    # semantics — not the property under test
+    cfg = Config(N_samples=8, N_importance=0, batch_size=BATCH,
+                 perturb=1.0, noise_std=0.0, lr=1e-3)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    optimizer = get_optimizer("adam", lambda _: cfg.lr)
+    epoch_fn = make_epoch_fn(cfg, mesh, optimizer, white_back=True)
+    # host copies: replicate()'s device_put may alias the source device-0
+    # buffer as one replica, and the epoch program DONATES its inputs — a
+    # device-resident params0 would be deleted by the first training run
+    params0 = jax.device_get({"coarse": init_nerf(jax.random.PRNGKey(0))})
+    probe = (jnp.asarray(ds.all_rays[::7]), jnp.asarray(ds.all_rgbs[::7]))
+    return ds, cfg, mesh, optimizer, epoch_fn, params0, probe
+
+
+def _probe_loss(params, probe):
+    rays, rgbs = probe
+    r = render_rays(params["coarse"], None, rays, None, N_samples=8,
+                    N_importance=0, perturb=0.0, noise_std=0.0,
+                    white_back=True, mode="rgb")
+    return float(jnp.mean((r["rgb_coarse"] - rgbs) ** 2))
+
+
+def _train(setup_t, global_reshuffle: bool):
+    ds, cfg, mesh, optimizer, epoch_fn, params0, probe = setup_t
+    params = replicate(params0, mesh)
+    opt_state = replicate(optimizer.init(params0), mesh)
+    rng = np.random.RandomState(1)
+    rays_buf = shard_rays(ds.all_rays, mesh)
+    rgbs_buf = shard_rays(ds.all_rgbs, mesh)
+    key = jax.random.PRNGKey(2)
+    for epoch in range(EPOCHS):
+        if global_reshuffle:
+            # DistributedSampler semantics: one global permutation per epoch,
+            # re-sharded, so every device sees fresh rows from all views
+            perm = rng.permutation(ds.all_rays.shape[0])
+            rays_buf = shard_rays(ds.all_rays[perm], mesh)
+            rgbs_buf = shard_rays(ds.all_rgbs[perm], mesh)
+        key, ek = jax.random.split(key)
+        params, opt_state, losses, _ = epoch_fn(
+            params, opt_state, rays_buf, rgbs_buf, ek
+        )
+    return params, float(np.asarray(losses).mean())
+
+
+def test_fixed_shard_matches_global_shuffle_convergence(setup):
+    ds, cfg, mesh, optimizer, epoch_fn, params0, probe = setup
+    init_loss = _probe_loss(params0, probe)
+
+    p_fixed, _ = _train(setup, global_reshuffle=False)
+    p_global, _ = _train(setup, global_reshuffle=True)
+
+    fixed_loss = _probe_loss(jax.device_get(p_fixed), probe)
+    global_loss = _probe_loss(jax.device_get(p_global), probe)
+
+    # both converge hard (>90% loss reduction from init)...
+    assert fixed_loss < 0.1 * init_loss
+    assert global_loss < 0.1 * init_loss
+    # ...and to comparable quality despite the view-skewed fixed shards.
+    # Measured (6 views / 8 devices / 14 epochs): init 0.187 -> fixed 0.012
+    # vs global 0.0078 — a ~1.5x stratification penalty on this PATHOLOGICAL
+    # skew (fewer views than devices), bounded here at 2x.  docs/results.md
+    # records the decision: fixed-shard+pmean is the shipped default (zero
+    # per-epoch host resharding traffic), and `shard_rays` re-placement per
+    # epoch (exactly what this test's global branch does) is the escape
+    # hatch for skewed datasets.
+    ratio = fixed_loss / global_loss
+    assert 1 / 2.0 < ratio < 2.0, (init_loss, fixed_loss, global_loss)
