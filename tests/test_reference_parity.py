@@ -822,3 +822,41 @@ def test_cosine_warmup_documented_divergence(ref):
     np.testing.assert_allclose(got[warmup + 1:],
                                np.array(want[warmup + 1:]) / inflation,
                                rtol=1e-4)  # identical shape modulo the bug
+
+
+def test_ckpt_prefix_filter_semantics_match_reference(ref, tmp_path):
+    """The reference's ``extract_model_state_dict`` (utils/__init__.py:55-70)
+    vs ours: same kept/dropped key sets for model_name selection + prefix
+    ignore, lightning-wrapper unwrap included."""
+    sd = {
+        "nerf_coarse.sigma.weight": torch.zeros(1, 4),
+        "nerf_coarse.sigma.bias": torch.zeros(1),
+        "nerf_coarse.rgb.0.weight": torch.zeros(3, 4),
+        "nerf_fine.sigma.weight": torch.ones(1, 4),
+        "loss.coeff": torch.tensor(2000.0),
+    }
+    p_ref = str(tmp_path / "ref.ckpt")
+    torch.save({"state_dict": sd, "optimizer_states": []}, p_ref)
+    kept_ref = ref.utils.extract_model_state_dict(
+        p_ref, model_name="nerf_coarse", prefixes_to_ignore=["rgb"]
+    )
+
+    from nerf_pl_tpu.training import checkpoints
+
+    tree = {
+        "nerf_coarse": {
+            "sigma": {"weight": np.zeros((1, 4), np.float32),
+                      "bias": np.zeros((1,), np.float32)},
+            "rgb": {"0": {"weight": np.zeros((3, 4), np.float32)}},
+        },
+        "nerf_fine": {"sigma": {"weight": np.ones((1, 4), np.float32)}},
+        "loss": {"coeff": np.float32(2000.0)},
+    }
+    p_ours = str(tmp_path / "ours.ckpt")
+    checkpoints.save_checkpoint(p_ours, tree)
+    kept_ours = checkpoints.extract_model_state_dict(
+        p_ours, model_name="nerf_coarse", prefixes_to_ignore=["rgb"]
+    )
+
+    norm = lambda keys: {k.replace("/", ".") for k in keys}  # noqa: E731
+    assert norm(kept_ours) == set(kept_ref) == {"sigma.weight", "sigma.bias"}
