@@ -860,3 +860,68 @@ def test_ckpt_prefix_filter_semantics_match_reference(ref, tmp_path):
 
     norm = lambda keys: {k.replace("/", ".") for k in keys}  # noqa: E731
     assert norm(kept_ours) == set(kept_ref) == {"sigma.weight", "sigma.bias"}
+
+
+def test_rgb_sm_efficient_sm_matches_reference(ref, sm_scene):
+    """models/rendering_rgb_sm.py::efficient_sm writes the joint trainer's
+    ``sm_*`` keys (:458,:477) — same math as the shadows variant but keyed
+    so RGB and shadow predictions coexist."""
+    s = sm_scene
+    ppc = {"eye_pos": [t(e) for e in s["cam_eyes"]],
+           "camera": [t(m) for m in s["cam_ms"]]}
+    with torch.no_grad():
+        want = ref.rendering_rgb_sm.efficient_sm(
+            t(s["cam_pixels"]), t(s["light_pixels"]),
+            {"depth_coarse": t(s["depths"]["cam_coarse"]),
+             "depth_fine": t(s["depths"]["cam_fine"])},
+            {"depth_coarse": t(s["depths"]["light_coarse"]),
+             "depth_fine": t(s["depths"]["light_fine"])},
+            ppc, s["light"], s["res"], fine_sampling=True,
+            Light_N_importance=8, shadow_method="shadow_method_2",
+        )
+    got = our_sm.efficient_sm(
+        jnp.asarray(s["cam_pixels"]), jnp.asarray(s["light_pixels"]),
+        {"depth_coarse": jnp.asarray(s["depths"]["cam_coarse"]),
+         "depth_fine": jnp.asarray(s["depths"]["cam_fine"])},
+        {"depth_coarse": jnp.asarray(s["depths"]["light_coarse"]),
+         "depth_fine": jnp.asarray(s["depths"]["light_fine"])},
+        jnp.asarray(s["cam_ms"]), jnp.asarray(s["cam_eyes"]),
+        jnp.asarray(s["light"].camera.numpy()),
+        jnp.asarray(s["light"].eye_pos.numpy()),
+        s["res"], fine_sampling=True, light_has_fine=True,
+        shadow_method="shadow_method_2",
+        pose_idx=jnp.asarray(s["pose_idx"]), num_poses=3, out_prefix="sm",
+    )
+    for k in ("sm_coarse", "sm_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(), rtol=1e-4, atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_poly_warmup_schedule_matches_reference(ref):
+    """poly + GradualWarmupScheduler (LambdaLR path)."""
+    epochs, lr, warmup = 12, 5e-4, 3
+    hp = argparse.Namespace(
+        optimizer="adam", lr=lr, momentum=0.9, weight_decay=0.0,
+        lr_scheduler="poly", decay_step=[2], decay_gamma=0.5,
+        num_epochs=epochs, poly_exp=0.9, warmup_epochs=warmup,
+        warmup_multiplier=2.0,
+    )
+    if not hasattr(ref.utils, "LambdaLR"):  # latent reference NameError
+        ref.utils.LambdaLR = torch.optim.lr_scheduler.LambdaLR
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = ref.utils.get_optimizer(hp, [torch.nn.ParameterList([p])])
+    scheduler = ref.utils.get_scheduler(hp, opt)
+    want = []
+    for _ in range(epochs):
+        want.append(ref.utils.get_learning_rate(opt))
+        p.grad = torch.zeros(1)
+        opt.step()
+        scheduler.step()
+    schedule = make_lr_schedule(
+        lr, "poly", steps_per_epoch=1, num_epochs=epochs, poly_exp=0.9,
+        warmup_multiplier=2.0, warmup_epochs=warmup, optimizer="adam",
+    )
+    got = [float(schedule(e)) for e in range(epochs)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
