@@ -89,15 +89,41 @@ def main():
 
     params = system.fit()
 
-    host_params = jax.device_get(params)
-    digest = hashlib.sha256(
-        b"".join(
-            np.ascontiguousarray(l).tobytes()
-            for l in jax.tree_util.tree_leaves(host_params)
+    def digest_of(tree):
+        return hashlib.sha256(
+            b"".join(
+                np.ascontiguousarray(l).tobytes()
+                for l in jax.tree_util.tree_leaves(jax.device_get(tree))
+            )
+        ).hexdigest()
+
+    digest = digest_of(params)
+
+    # --- the flagship shadow trainer, multi-process -------------------------
+    # (exercises _ShadowSystemBase's sharded pixel/pose buffers, the light-
+    # cache scan carry and the efficient_sm compositor under cross-process
+    # collectives)
+    sm_digest = None
+    shadow_scene = sys.argv[5] if len(sys.argv) > 5 else None
+    if shadow_scene:
+        from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
+
+        sm_cfg = Config(
+            root_dir=shadow_scene, dataset_name="efficient_sm",
+            img_wh=(8, 8), N_samples=4, N_importance=4, batch_size=8,
+            num_epochs=1, chunk=128, lr=1e-3, noise_std=0.0,
+            Light_N_importance=0, sample_light_depth_every=2,
+            exp_name="mp_sm", log_dir=os.path.join(work, "logs"),
+            ckpt_dir=os.path.join(work, "ckpts"), num_sanity_val_steps=0,
+            use_fused_mlp=False, compilation_cache=False,
         )
-    ).hexdigest()
+        sm_system = EfficientSMSystem(sm_cfg)
+        sm_params = sm_system.fit()
+        sm_digest = digest_of(sm_params)
+
     with open(os.path.join(work, f"result_{pid}.json"), "w") as f:
-        json.dump({"pid": pid, "digest": digest, "ok": True}, f)
+        json.dump({"pid": pid, "digest": digest, "sm_digest": sm_digest,
+                   "ok": True}, f)
     print(f"[worker {pid}] done digest={digest[:12]}", flush=True)
 
 

@@ -35,7 +35,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_training(blender_root, tmp_path):
+def test_two_process_training(blender_root, shadow_root, tmp_path):
     work = str(tmp_path)
     port = _free_port()
     env = {
@@ -49,7 +49,7 @@ def test_two_process_training(blender_root, tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(port), str(blender_root),
-             work],
+             work, str(shadow_root)],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
         )
@@ -74,6 +74,9 @@ def test_two_process_training(blender_root, tmp_path):
             results.append(json.load(f))
     assert results[0]["ok"] and results[1]["ok"]
     assert results[0]["digest"] == results[1]["digest"]
+    # flagship shadow trainer too: identical params across processes
+    assert results[0]["sm_digest"] is not None
+    assert results[0]["sm_digest"] == results[1]["sm_digest"]
 
     # exactly one process logged (4 records: 2 epochs x train+val scalars)
     metrics = os.path.join(work, "logs", "mp", "metrics.jsonl")
