@@ -86,7 +86,11 @@ def _install_stubs():
         class ToTensor:
             def __call__(self, pic):
                 arr = np.asarray(pic, dtype=np.float32) / 255.0
-                return torch.from_numpy(arr).permute(2, 0, 1)
+                if arr.ndim == 2:  # 'L' images -> (1, H, W)
+                    arr = arr[None]
+                else:
+                    arr = arr.transpose(2, 0, 1)
+                return torch.from_numpy(arr.copy())
 
         transforms.ToTensor = ToTensor
         tv.transforms = transforms
