@@ -968,12 +968,27 @@ class ShadowMappingSystem:
     """Image-space shadow-mapping trainer (reference
     ``train_shadow_mapping.py``): each step renders whole-image camera AND
     light depth maps and composites with per-image ``shadow_mapping``.
-    Runs single-program (no ray sharding — batches are whole images,
-    reference batch_size is an image count, typically 1)."""
+
+    Mesh story (batches are whole images — reference batch_size is an image
+    count, typically 1 — so rays-within-the-image shard instead): the
+    expensive sigma renders (``batch*H*W`` camera rays + ``H*W`` light rays,
+    64-256 MLP point queries each) run sharded ``P('rays')``; the composite
+    is cheap elementwise math plus one gather, but ``shadow_method_2``
+    min-max-normalizes over each WHOLE image, so the depth maps are
+    ``all_gather``-ed and the composite+loss run replicated on every device.
+    Autodiff through the gather routes each device's cotangent slice back
+    via ``psum_scatter`` with a factor of the device count (the loss is
+    computed once per device), so the final ``pmean`` of the grads restores
+    exactly the full-batch gradient (asserted vs the 1-device program in
+    ``tests/test_shadow_systems.py``)."""
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        self.mesh = make_mesh(1)
+        w, h = cfg.img_wh
+        nd = cfg.num_devices or jax.device_count()
+        while (w * h) % nd:  # both ray populations are multiples of H*W
+            nd -= 1
+        self.mesh = make_mesh(nd)
         self.logger = RunLogger(cfg.log_dir, cfg.exp_name)
         self.rng = jax.random.PRNGKey(cfg.seed)
         ds_cls = dataset_dict[cfg.dataset_name]
@@ -1018,46 +1033,73 @@ class ShadowMappingSystem:
         image_shape = tuple(cfg.img_wh)
         Bi = max(1, cfg.batch_size)
         optimizer = self.optimizer
+        mesh = self.mesh
 
         # light tables are passed as ARGUMENTS, never closed over: arrays
         # captured by a jitted closure become program constants and blow the
         # remote-compile upload limit at real resolutions (CLAUDE.md gotcha)
-        def loss_fn(params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, light, key):
-            kc, kl = jax.random.split(key)
-            flat = rays_b.reshape(-1, 8)
-            cam_res = render_rays(
-                params.get("coarse"), params.get("fine"), flat, kc, **rkw
-            )
-            light_res = render_rays(
-                params.get("coarse"), params.get("fine"), light["rays"],
-                kl, **rkw,
-            )
-            light_tiled = {
-                k: jnp.tile(v, (Bi,)) for k, v in light_res.items()
-                if k.startswith("depth")
-            }
-            out = shadow_mapping_images(
-                cam_res, light_tiled, cam_ms_b, cam_eyes_b, light["m"],
-                light["eye"], image_shape, Bi, fine_sampling=fine,
-                shadow_method=cfg.shadow_method,
-            )
-            targets = rgbs_b.reshape(-1, 3)
-            loss = mse_loss(out, targets)
-            typ = "fine" if fine else "coarse"
-            return loss, psnr_metric(out[f"rgb_{typ}"], targets)
-
-        @jax.jit
-        def step(
-            params, opt_state, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, light, key
+        def device_step(
+            params, opt_state, rays_flat, rgbs_b, cam_ms_b, cam_eyes_b,
+            light, key,
         ):
+            # rays_flat/light["rays"] arrive as this device's row shard;
+            # everything else replicated
+            dev = jax.lax.axis_index("rays")
+
+            def loss_fn(params):
+                kc, kl = jax.random.split(jax.random.fold_in(key, dev))
+                cam_res = render_rays(
+                    params.get("coarse"), params.get("fine"), rays_flat, kc,
+                    **rkw,
+                )
+                light_res = render_rays(
+                    params.get("coarse"), params.get("fine"), light["rays"],
+                    kl, **rkw,
+                )
+
+                def gather(x):
+                    return jax.lax.all_gather(x, "rays", tiled=True)
+
+                cam_depths = {
+                    k: gather(v) for k, v in cam_res.items()
+                    if k.startswith("depth")
+                }
+                light_tiled = {
+                    k: jnp.tile(gather(v), (Bi,))
+                    for k, v in light_res.items() if k.startswith("depth")
+                }
+                out = shadow_mapping_images(
+                    cam_depths, light_tiled, cam_ms_b, cam_eyes_b,
+                    light["m"], light["eye"], image_shape, Bi,
+                    fine_sampling=fine, shadow_method=cfg.shadow_method,
+                )
+                targets = rgbs_b.reshape(-1, 3)
+                loss = mse_loss(out, targets)
+                typ = "fine" if fine else "coarse"
+                return loss, psnr_metric(out[f"rgb_{typ}"], targets)
+
             (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, rays_b, rgbs_b, cam_ms_b, cam_eyes_b, light, key
+                params
             )
+            # each device differentiated its own copy of the replicated
+            # loss; the all_gather transpose (psum_scatter) therefore
+            # carries a factor of D on every shard's cotangent, and pmean
+            # — not psum — recovers the exact full-batch gradient
+            grads = jax.lax.pmean(grads, "rays")
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, psnr
 
-        return step
+        fn = shard_map(
+            device_step,
+            mesh,
+            in_specs=(
+                P(), P(), P("rays"), P(), P(), P(),
+                {"rays": P("rays"), "m": P(), "eye": P()}, P(),
+            ),
+            out_specs=(P(), P(), P(), P()),
+        )
+        return jax.jit(fn, donate_argnums=(0, 1))
 
     def validation(self, epoch: int, max_images: Optional[int] = None):
         """Whole-image validation (reference ``train_shadow_mapping.py``
@@ -1156,7 +1198,8 @@ class ShadowMappingSystem:
                     "eye": self.light_eye,
                 }
                 self.params, self.opt_state, loss, psnr = self._step(
-                    self.params, self.opt_state, self.rays[idx],
+                    self.params, self.opt_state,
+                    self.rays[idx].reshape(-1, 8),
                     self.rgbs[idx], self.cam_ms[idx], self.cam_eyes[idx],
                     light, key,
                 )

@@ -127,6 +127,39 @@ def test_shadow_mapping_system_trains(shadow_root, tmp_path):
     assert glob.glob(os.path.join(system.logger.dir, "imgs", "rgb_*.png"))
 
 
+def test_shadow_mapping_sharded_step_matches_single(shadow_root, tmp_path):
+    """The ray-sharded image-space trainer (renders sharded P('rays'),
+    composite replicated on all_gather-ed depth maps, grads pmean-ed) is
+    numerically the SAME program as the 1-device trainer — the pmean
+    exactly cancels the D-factor the all_gather transpose puts on each
+    shard's cotangent."""
+    import jax
+
+    from nerf_pl_tpu.training.shadow_systems import ShadowMappingSystem
+
+    # SGD, deliberately: Adam is gradient-scale-invariant, so it would both
+    # amplify float noise AND mask a pmean/psum scale error; SGD updates are
+    # proportional to the gradient, so any D-factor shows up as ~8x drift
+    kw = dict(
+        dataset_name="shadows", batch_size=1, num_epochs=1, N_importance=0,
+        perturb=0.0, val_every_n_epochs=100, num_sanity_val_steps=0,
+        optimizer="sgd", lr=1e-2,
+    )
+    s8 = ShadowMappingSystem(_cfg(shadow_root, tmp_path / "sm8", **kw))
+    assert s8.mesh.devices.size == 8  # 8*8 images shard over all 8 devices
+    s1 = ShadowMappingSystem(
+        _cfg(shadow_root, tmp_path / "sm1", num_devices=1, **kw)
+    )
+    p8 = s8.fit()
+    p1 = s1.fit()
+    # reduction order differs between the sharded-psum and single-device
+    # programs — float32 noise only; a pmean/psum mix-up would be 8x
+    for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_shadows_system_trains(shadow_root, tmp_path):
     from nerf_pl_tpu.training.shadow_systems import ShadowsSystem
 
