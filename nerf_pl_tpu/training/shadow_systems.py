@@ -93,6 +93,22 @@ def _light_cache_render(params, light_rays, key, rkw):
     }
 
 
+def _light_cache_render_sharded(params, light_rays_loc, key, rkw):
+    """Light-view render split over the ray mesh: each device renders only
+    its shard of the ``H*W`` light rays and the full cache is reassembled
+    with a tiled ``all_gather`` — the compositor needs the WHOLE light depth
+    map (arbitrary ``w_light[vl, ul]`` gathers), but rendering it is the
+    per-refresh hot cost and parallelizes D-fold.  Must be called inside the
+    ``shard_map``-ed epoch.  With ``grad_on_light`` gradients flow through
+    the ``all_gather`` (transpose = ``psum_scatter``), and the epoch's
+    ``pmean`` over per-device grads yields exactly the gradient of the
+    device-mean loss — same semantics as the replicated render."""
+    local = _light_cache_render(params, light_rays_loc, key, rkw)
+    return {
+        k: jax.lax.all_gather(v, "rays", tiled=True) for k, v in local.items()
+    }
+
+
 def dump_val_images(logger, cfg, step: int, epoch: int, out, rgbs, typ: str):
     """Per-epoch gt/rgb/depth/disp PNG dumps + TB image grid, shared by every
     shadow trainer (reference ``train_efficient_sm.py:241-263``,
@@ -178,6 +194,16 @@ class _ShadowSystemBase(NeRFSystem):
         self.light_pixels = replicate(jnp.asarray(light.pixels), self.mesh)
         self.light_m = replicate(jnp.asarray(light.camera), self.mesh)
         self.light_eye = replicate(jnp.asarray(light.eye_pos), self.mesh)
+        # the light-view render shards over the mesh when H*W divides the
+        # device count (shard_rays TRUNCATES otherwise — every light pixel
+        # must render, so fall back to the replicated render if not)
+        self.shard_light = (
+            int(light.rays.shape[0]) % self.mesh.devices.size == 0
+        )
+        self.light_rays_in = (
+            shard_rays(np.asarray(light.rays), self.mesh)
+            if self.shard_light else self.light_rays
+        )
 
     def _dump_val_images(self, epoch, out, rgbs, typ):
         dump_val_images(
@@ -187,7 +213,6 @@ class _ShadowSystemBase(NeRFSystem):
 
     def _tables(self):
         return {
-            "light_rays": self.light_rays,
             "light_pixels": self.light_pixels,
             "light_m": self.light_m,
             "light_eye": self.light_eye,
@@ -232,16 +257,21 @@ class EfficientSMSystem(_ShadowSystemBase):
         image_shape = tuple(cfg.img_wh)
         num_poses = self.num_poses
         shadow_method = cfg.shadow_method
+        light_render = (
+            _light_cache_render_sharded if self.shard_light
+            else _light_cache_render
+        )
 
-        def compose_loss(params, batch, tables, light_depths, key):
+        def compose_loss(params, batch, tables, light_rays_in, light_depths,
+                         key):
             rays, rgbs, pixels, pose_idx = batch
             kc, kl = jax.random.split(key)
             cam_res = render_rays(
                 params.get("coarse"), params.get("fine"), rays, kc, **rkw_cam
             )
             if grad_on_light:
-                light_depths = _light_cache_render(
-                    params, tables["light_rays"], kl, rkw_light
+                light_depths = light_render(
+                    params, light_rays_in, kl, rkw_light
                 )
             out = efficient_sm(
                 pixels,
@@ -279,7 +309,7 @@ class EfficientSMSystem(_ShadowSystemBase):
 
         def device_epoch(
             params, opt_state, light_depths, rays, rgbs, pixels, pose_idx,
-            tables, epoch_key, step0,
+            light_rays_in, tables, epoch_key, step0,
         ):
             n_loc = rays.shape[0]
             steps = n_loc // B
@@ -303,9 +333,7 @@ class EfficientSMSystem(_ShadowSystemBase):
                         # all-zero light depth map
                         (gstep % k_update == 0) | (i == 0),
                         lambda p: jax.lax.stop_gradient(
-                            _light_cache_render(
-                                p, tables["light_rays"], kup, rkw_light
-                            )
+                            light_render(p, light_rays_in, kup, rkw_light)
                         ),
                         lambda p: light_depths,
                         params,
@@ -320,7 +348,7 @@ class EfficientSMSystem(_ShadowSystemBase):
                 )
                 (loss, (psnr, op_loss)), grads = jax.value_and_grad(
                     compose_loss, has_aux=True
-                )(params, batch, tables, light_depths, kstep)
+                )(params, batch, tables, light_rays_in, light_depths, kstep)
                 grads = jax.lax.pmean(grads, "rays")
                 loss = jax.lax.pmean(loss, "rays")
                 psnr = jax.lax.pmean(psnr, "rays")
@@ -341,6 +369,7 @@ class EfficientSMSystem(_ShadowSystemBase):
             mesh,
             in_specs=(
                 P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
+                P("rays") if self.shard_light else P(),
                 P(), P(), P(),
             ),
             out_specs=(P(), P(), P(), P(), P(), P()),
@@ -381,7 +410,8 @@ class EfficientSMSystem(_ShadowSystemBase):
             ) = epoch_fn(
                 self.params, self.opt_state, light_cache, self.rays_buf,
                 self.rgbs_buf, self.pixels_buf, self.pose_idx_buf,
-                self._tables(), ek, jnp.int32(global_step),
+                self.light_rays_in, self._tables(), ek,
+                jnp.int32(global_step),
             )
             losses, psnrs = np.asarray(losses), np.asarray(psnrs)
             dt = time.time() - t0
@@ -495,16 +525,21 @@ class RGBSMSystem(EfficientSMSystem):
         num_poses = self.num_poses
         shadow_method = cfg.shadow_method
         rgb_w, sm_w = cfg.rgb_weight, cfg.sm_weight
+        light_render = (
+            _light_cache_render_sharded if self.shard_light
+            else _light_cache_render
+        )
 
-        def compose_loss(params, batch, tables, light_depths, key):
+        def compose_loss(params, batch, tables, light_rays_in, light_depths,
+                         key):
             rays, rgbs, sms, pixels, pose_idx = batch
             kc, kl = jax.random.split(key)
             cam_res = render_rays(
                 params.get("coarse"), params.get("fine"), rays, kc, **rkw_cam
             )
             if grad_on_light:
-                light_depths = _light_cache_render(
-                    params, tables["light_rays"], kl, rkw_light
+                light_depths = light_render(
+                    params, light_rays_in, kl, rkw_light
                 )
             out = efficient_sm(
                 pixels, tables["light_pixels"], cam_res, light_depths,
@@ -524,7 +559,7 @@ class RGBSMSystem(EfficientSMSystem):
 
         def device_epoch(
             params, opt_state, light_depths, rays, rgbs, sms, pixels,
-            pose_idx, tables, epoch_key, step0,
+            pose_idx, light_rays_in, tables, epoch_key, step0,
         ):
             steps = rays.shape[0] // B
             dev = jax.lax.axis_index("rays")
@@ -547,9 +582,7 @@ class RGBSMSystem(EfficientSMSystem):
                         # all-zero light depth map
                         (gstep % k_update == 0) | (i == 0),
                         lambda p: jax.lax.stop_gradient(
-                            _light_cache_render(
-                                p, tables["light_rays"], kup, rkw_light
-                            )
+                            light_render(p, light_rays_in, kup, rkw_light)
                         ),
                         lambda p: light_depths,
                         params,
@@ -564,7 +597,7 @@ class RGBSMSystem(EfficientSMSystem):
                 )
                 (loss, (psnr, sm_psnr)), grads = jax.value_and_grad(
                     compose_loss, has_aux=True
-                )(params, batch, tables, light_depths, kstep)
+                )(params, batch, tables, light_rays_in, light_depths, kstep)
                 grads = jax.lax.pmean(grads, "rays")
                 loss = jax.lax.pmean(loss, "rays")
                 psnr = jax.lax.pmean(psnr, "rays")
@@ -583,7 +616,8 @@ class RGBSMSystem(EfficientSMSystem):
             mesh,
             in_specs=(
                 P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
-                P("rays"), P(), P(), P(),
+                P("rays"), P("rays") if self.shard_light else P(),
+                P(), P(), P(),
             ),
             out_specs=(P(), P(), P(), P(), P(), P()),
         )
@@ -609,7 +643,8 @@ class RGBSMSystem(EfficientSMSystem):
             ) = epoch_fn(
                 self.params, self.opt_state, light_cache, self.rays_buf,
                 self.rgbs_buf, self.sm_buf, self.pixels_buf,
-                self.pose_idx_buf, self._tables(), ek, jnp.int32(global_step),
+                self.pose_idx_buf, self.light_rays_in, self._tables(), ek,
+                jnp.int32(global_step),
             )
             losses = np.asarray(losses)
             dt = time.time() - t0
