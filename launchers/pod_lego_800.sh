@@ -18,7 +18,7 @@ python train.py \
   --batch_size 4096 --num_epochs 16 \
   --optimizer adam --lr 5e-4 --lr_scheduler steplr \
   --decay_step 2 4 8 --decay_gamma 0.5 \
-  --compute_dtype bfloat16 --multihost \
+  --compute_dtype bfloat16 --multihost --per_host_data \
   --exp_name pod_lego_800 "$@"
 
 # offline colored mesh from the trained scene (host 0 only; the sigma-grid

@@ -86,6 +86,11 @@ class Config:
     num_devices: Optional[int] = None  # None -> all local devices
     multihost: bool = False  # call jax.distributed.initialize() at startup
     data_device_resident: bool = True  # keep the ray buffer in HBM
+    # pod-scale host data pipeline (SURVEY.md §7): each host loads only its
+    # own image subset (frames[process_index::process_count]) and the global
+    # buffer is assembled from per-process shards — no host ever holds the
+    # full all-rays buffer. Single-process: no-op.
+    per_host_data: bool = False
     remat_fine: bool = False  # jax.checkpoint on the fine pass
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
     profile: bool = False  # jax.profiler trace of the first epoch
@@ -175,6 +180,9 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host pod slice: jax.distributed."
                         "initialize() before building the device mesh")
+    parser.add_argument("--per_host_data", action="store_true",
+                        help="each host loads only its own image subset "
+                        "(pod-scale datasets; blender loader)")
     parser.add_argument("--remat_fine", action="store_true")
     parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() == "true",
                         default=d.use_fused_mlp)

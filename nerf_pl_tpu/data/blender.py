@@ -68,6 +68,7 @@ class BlenderDataset:
         white_back: Optional[bool] = None,
         black_and_white: bool = False,
         val_num: int = 8,
+        frame_shard=None,
     ):
         assert img_wh[0] == img_wh[1], "image width must equal image height!"
         self.root_dir = root_dir
@@ -79,6 +80,10 @@ class BlenderDataset:
         )
         self.black_and_white = black_and_white
         self.val_num = val_num
+        # (offset, step): load only frames[offset::step] — the pod-scale
+        # host data pipeline (SURVEY.md §7): each host reads its own image
+        # subset instead of materializing the full all-rays buffer
+        self.frame_shard = frame_shard
         self._read_meta()
 
     # -- meta -----------------------------------------------------------------
@@ -92,8 +97,12 @@ class BlenderDataset:
         self.directions = get_ray_directions(h, w, self.focal)  # (h, w, 3)
 
         if self.split == "train":
+            frames = self.meta["frames"]
+            if self.frame_shard is not None:
+                offset, step = self.frame_shard
+                frames = frames[offset::step]
             rays, rgbs, poses, paths = [], [], [], []
-            for frame in self.meta["frames"]:
+            for frame in frames:
                 pose = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]
                 poses.append(pose)
                 path = os.path.join(self.root_dir, f"{frame['file_path']}.png")

@@ -277,14 +277,38 @@ class NeRFSystem:
                 spheric_poses=cfg.spheric_poses,
                 val_num=self.mesh.devices.size,
             )
-        self.train_dataset = ds_cls(split="train", **kwargs)
+        per_host = cfg.per_host_data and jax.process_count() > 1
+        train_kwargs = kwargs
+        if per_host:
+            # pod-scale host pipeline (SURVEY.md §7): this host reads only
+            # frames[process_index::process_count]; the global device array
+            # is assembled from per-process shards (shard_rays local=True)
+            if cfg.dataset_name != "blender":
+                raise ValueError(
+                    "--per_host_data currently supports the blender loader "
+                    f"(got {cfg.dataset_name})"
+                )
+            if not cfg.data_device_resident:
+                raise ValueError(
+                    "--per_host_data requires device-resident buffers "
+                    "(host-streaming is per-process already)"
+                )
+            train_kwargs = dict(
+                kwargs,
+                frame_shard=(jax.process_index(), jax.process_count()),
+            )
+        self.train_dataset = ds_cls(split="train", **train_kwargs)
         self.val_dataset = ds_cls(split="val", **kwargs)
         self.white_back = self.train_dataset.white_back
         self.ray_store = None
         if cfg.data_device_resident:
             # device-resident sharded buffers (fast path)
-            self.rays_buf = shard_rays(self.train_dataset.all_rays, self.mesh)
-            self.rgbs_buf = shard_rays(self.train_dataset.all_rgbs, self.mesh)
+            self.rays_buf = shard_rays(
+                self.train_dataset.all_rays, self.mesh, local=per_host
+            )
+            self.rgbs_buf = shard_rays(
+                self.train_dataset.all_rgbs, self.mesh, local=per_host
+            )
         else:
             # host streaming through the native C++ ray store
             from ..data.native import RayStore

@@ -103,6 +103,40 @@ def main():
     # (exercises _ShadowSystemBase's sharded pixel/pose buffers, the light-
     # cache scan carry and the efficient_sm compositor under cross-process
     # collectives)
+    # --- per-host data loading (pod-scale pipeline, SURVEY.md §7) -----------
+    # each process loads only frames[pid::2]; with 3 train frames the
+    # subsets are unbalanced (2 vs 1), exercising the documented global-MIN
+    # rows-per-device truncation of shard_rays(local=True)
+    ph_cfg = Config(
+        root_dir=scene, dataset_name="blender", img_wh=(16, 16),
+        N_samples=8, N_importance=8, batch_size=16, num_epochs=1,
+        chunk=256, lr=5e-3, blender_near=2.0, blender_far=6.0,
+        white_back=True, exp_name="mp_ph", log_dir=os.path.join(work, "logs"),
+        ckpt_dir=os.path.join(work, "ckpts"), num_sanity_val_steps=0,
+        use_fused_mlp=False, compilation_cache=False, per_host_data=True,
+    )
+    ph = NeRFSystem(ph_cfg)
+    full = system.train_dataset.all_rays  # the full buffer (first run)
+    n_frames = full.shape[0] // (16 * 16)
+    my_frames = len(range(pid, n_frames, 2))
+    assert ph.train_dataset.all_rays.shape[0] == my_frames * 16 * 16
+    g = np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(ph.mesh, P()))(
+            ph.rays_buf
+        )
+    )
+    # global rows: 8 * min-over-hosts rows-per-device; every row comes from
+    # the source dataset and none is duplicated
+    per_dev = min(
+        (len(range(p, n_frames, 2)) * 16 * 16) // 4 for p in (0, 1)
+    )
+    assert g.shape[0] == 8 * per_dev, (g.shape, per_dev)
+    full_set = {r.tobytes() for r in full}
+    g_rows = [r.tobytes() for r in g]
+    assert set(g_rows) <= full_set
+    assert len(set(g_rows)) == len(g_rows)
+    ph_digest = digest_of(ph.fit())
+
     sm_digest = None
     shadow_scene = sys.argv[5] if len(sys.argv) > 5 else None
     if shadow_scene:
@@ -123,7 +157,7 @@ def main():
 
     with open(os.path.join(work, f"result_{pid}.json"), "w") as f:
         json.dump({"pid": pid, "digest": digest, "sm_digest": sm_digest,
-                   "ok": True}, f)
+                   "ph_digest": ph_digest, "ok": True}, f)
     print(f"[worker {pid}] done digest={digest[:12]}", flush=True)
 
 

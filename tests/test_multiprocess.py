@@ -77,6 +77,10 @@ def test_two_process_training(blender_root, shadow_root, tmp_path):
     # flagship shadow trainer too: identical params across processes
     assert results[0]["sm_digest"] is not None
     assert results[0]["sm_digest"] == results[1]["sm_digest"]
+    # per-host data loading (--per_host_data): hosts read DIFFERENT image
+    # subsets yet converge to identical params
+    assert results[0]["ph_digest"] is not None
+    assert results[0]["ph_digest"] == results[1]["ph_digest"]
 
     # exactly one process logged (4 records: 2 epochs x train+val scalars)
     metrics = os.path.join(work, "logs", "mp", "metrics.jsonl")
