@@ -116,12 +116,17 @@ class LLFFDataset:
         img_wh=(504, 378),
         spheric_poses: bool = False,
         val_num: int = 1,
+        frame_shard=None,
     ):
         self.root_dir = root_dir
         self.split = split
         self.img_wh = tuple(img_wh)
         self.spheric_poses = spheric_poses
         self.val_num = max(1, val_num)
+        # (offset, step): load images for train indices[offset::step] only.
+        # Pose centering/scaling still uses ALL poses (tiny), so per-host
+        # subsets see identical geometry normalization.
+        self.frame_shard = frame_shard
         self._read_meta()
 
     def _rays_for(self, c2w: np.ndarray) -> np.ndarray:
@@ -173,11 +178,15 @@ class LLFFDataset:
         )
 
         if self.split == "train":
+            train_idx = [
+                i for i in range(len(self.image_paths)) if i != val_idx
+            ]
+            if self.frame_shard is not None:
+                offset, step = self.frame_shard
+                train_idx = train_idx[offset::step]
             rays, rgbs = [], []
-            for i, image_path in enumerate(self.image_paths):
-                if i == val_idx:
-                    continue
-                rgbs.append(_load_rgb(image_path, self.img_wh))
+            for i in train_idx:
+                rgbs.append(_load_rgb(self.image_paths[i], self.img_wh))
                 rays.append(self._rays_for(self.poses[i]))
             self.all_rays = np.concatenate(rays, 0)
             self.all_rgbs = np.concatenate(rgbs, 0)

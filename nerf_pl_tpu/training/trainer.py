@@ -283,9 +283,9 @@ class NeRFSystem:
             # pod-scale host pipeline (SURVEY.md §7): this host reads only
             # frames[process_index::process_count]; the global device array
             # is assembled from per-process shards (shard_rays local=True)
-            if cfg.dataset_name != "blender":
+            if cfg.dataset_name not in ("blender", "llff"):
                 raise ValueError(
-                    "--per_host_data currently supports the blender loader "
+                    "--per_host_data supports the blender and llff loaders "
                     f"(got {cfg.dataset_name})"
                 )
             if not cfg.data_device_resident:

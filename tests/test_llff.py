@@ -160,3 +160,21 @@ def test_llff_trainer_wires_val_num_to_mesh_size(llff_root, tmp_path):
     system = NeRFSystem(cfg)
     assert system.mesh.devices.size == 8
     assert len(system.val_dataset) == 8  # replicated to the chip count
+
+
+def test_llff_frame_shard_partitions_train_set(llff_root):
+    """--per_host_data support: per-host subsets (frames[p::n]) exactly
+    partition the full train ray buffer, with identical pose normalization
+    (centering/scaling always uses ALL poses)."""
+    full = LLFFDataset(llff_root, "train", img_wh=(8, 6))
+    parts = [
+        LLFFDataset(llff_root, "train", img_wh=(8, 6), frame_shard=(p, 2))
+        for p in (0, 1)
+    ]
+    n_img = 8 * 6
+    assert sum(p.all_rays.shape[0] for p in parts) == full.all_rays.shape[0]
+    # host p holds train images p::2 — ray blocks match the full buffer's
+    full_blocks = full.all_rays.reshape(-1, n_img, 8)
+    for p, part in enumerate(parts):
+        got = part.all_rays.reshape(-1, n_img, 8)
+        np.testing.assert_array_equal(got, full_blocks[p::2])
