@@ -182,7 +182,7 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
                         "initialize() before building the device mesh")
     parser.add_argument("--per_host_data", action="store_true",
                         help="each host loads only its own image subset "
-                        "(pod-scale datasets; blender loader)")
+                        "(pod-scale datasets; blender and llff loaders)")
     parser.add_argument("--remat_fine", action="store_true")
     parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() == "true",
                         default=d.use_fused_mlp)

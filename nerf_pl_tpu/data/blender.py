@@ -101,6 +101,13 @@ class BlenderDataset:
             if self.frame_shard is not None:
                 offset, step = self.frame_shard
                 frames = frames[offset::step]
+                if not frames:
+                    raise ValueError(
+                        f"frame_shard {self.frame_shard}: host {offset} gets "
+                        f"no frames ({len(self.meta['frames'])} train frames "
+                        f"over {step} hosts) — use fewer hosts or drop "
+                        "--per_host_data"
+                    )
             rays, rgbs, poses, paths = [], [], [], []
             for frame in frames:
                 pose = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]

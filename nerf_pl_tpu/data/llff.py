@@ -184,6 +184,11 @@ class LLFFDataset:
             if self.frame_shard is not None:
                 offset, step = self.frame_shard
                 train_idx = train_idx[offset::step]
+                if not train_idx:
+                    raise ValueError(
+                        f"frame_shard {self.frame_shard}: host {offset} gets "
+                        f"no images — use fewer hosts or drop --per_host_data"
+                    )
             rays, rgbs = [], []
             for i in train_idx:
                 rgbs.append(_load_rgb(self.image_paths[i], self.img_wh))

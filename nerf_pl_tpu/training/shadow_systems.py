@@ -81,6 +81,18 @@ def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
     )
 
 
+def _reject_per_host_data(cfg: Config, trainer_name: str) -> None:
+    """``--per_host_data`` is a NeRFSystem (blender/llff) feature; the shadow
+    loaders are per-scene small and every host loads the full dataset.
+    Silently ignoring the flag on a pod would defeat its memory purpose —
+    fail loudly instead."""
+    if cfg.per_host_data:
+        raise ValueError(
+            f"--per_host_data is not supported by {trainer_name}; shadow "
+            "datasets load fully on every host"
+        )
+
+
 def _light_cache_render(params, light_rays, key, rkw):
     """Full light-view sigma render → the cache pytree (always carries a
     ``depth_fine`` slot so the cond branches match; falls back to coarse)."""
@@ -174,6 +186,7 @@ class _ShadowSystemBase(NeRFSystem):
 
     def _prepare_data(self):
         cfg = self.cfg
+        _reject_per_host_data(cfg, type(self).__name__)
         ds_cls = dataset_dict[cfg.dataset_name]
         kw = self._dataset_kwargs()
         self.train_dataset = ds_cls(split="train", **kw)
@@ -1019,6 +1032,7 @@ class ShadowMappingSystem:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        _reject_per_host_data(cfg, type(self).__name__)
         w, h = cfg.img_wh
         nd = cfg.num_devices or jax.device_count()
         while (w * h) % nd:  # both ray populations are multiples of H*W
@@ -1039,10 +1053,19 @@ class ShadowMappingSystem:
         self.cam_eyes = jnp.asarray(
             np.stack([it["ppc"]["eye_pos"] for it in items])
         )
+        from jax.sharding import NamedSharding
+
         light = self.train_dataset.light
-        self.light_rays = jnp.asarray(light.rays)
+        # pre-place the light buffer P('rays') once — an unsharded array
+        # would be relayouted by jit on EVERY step of the per-step loop
+        self.light_rays = jax.device_put(
+            jnp.asarray(light.rays), NamedSharding(self.mesh, P("rays"))
+        )
         self.light_m = jnp.asarray(light.camera)
         self.light_eye = jnp.asarray(light.eye_pos)
+        self.light_tables = {
+            "rays": self.light_rays, "m": self.light_m, "eye": self.light_eye,
+        }
 
         from .optim import get_optimizer, make_lr_schedule
 
@@ -1227,16 +1250,11 @@ class ShadowMappingSystem:
             for s in range(self.steps_per_epoch):
                 idx = np.asarray([(s * Bi + k) % n for k in range(Bi)])
                 self.rng, key = jax.random.split(self.rng)
-                light = {
-                    "rays": self.light_rays,
-                    "m": self.light_m,
-                    "eye": self.light_eye,
-                }
                 self.params, self.opt_state, loss, psnr = self._step(
                     self.params, self.opt_state,
                     self.rays[idx].reshape(-1, 8),
                     self.rgbs[idx], self.cam_ms[idx], self.cam_eyes[idx],
-                    light, key,
+                    self.light_tables, key,
                 )
                 losses.append(float(loss))
                 psnrs.append(float(psnr))
@@ -1280,6 +1298,7 @@ class ShadowsSystem(NeRFSystem):
 
     def _prepare_data(self):
         cfg = self.cfg
+        _reject_per_host_data(cfg, type(self).__name__)
         ds_cls = dataset_dict[cfg.dataset_name]
         kw = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh))
         self.train_dataset = ds_cls(split="train", **kw)

@@ -328,6 +328,12 @@ class NeRFSystem:
             else self.rays_buf.shape[0]
         )
         self.steps_per_epoch = (n // d) // cfg.batch_size
+        if self.steps_per_epoch < 1:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} exceeds the {n // d} rays per "
+                f"device ({n} rays over {d} devices) — the epoch would run "
+                "zero steps; reduce --batch_size or --num_devices"
+            )
         schedule = make_lr_schedule(
             cfg.lr,
             cfg.lr_scheduler,

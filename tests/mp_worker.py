@@ -99,10 +99,6 @@ def main():
 
     digest = digest_of(params)
 
-    # --- the flagship shadow trainer, multi-process -------------------------
-    # (exercises _ShadowSystemBase's sharded pixel/pose buffers, the light-
-    # cache scan carry and the efficient_sm compositor under cross-process
-    # collectives)
     # --- per-host data loading (pod-scale pipeline, SURVEY.md §7) -----------
     # each process loads only frames[pid::2]; with 3 train frames the
     # subsets are unbalanced (2 vs 1), exercising the documented global-MIN
@@ -137,6 +133,10 @@ def main():
     assert len(set(g_rows)) == len(g_rows)
     ph_digest = digest_of(ph.fit())
 
+    # --- the flagship shadow trainer, multi-process -------------------------
+    # (exercises _ShadowSystemBase's sharded pixel/pose buffers, the light-
+    # cache scan carry and the efficient_sm compositor under cross-process
+    # collectives)
     sm_digest = None
     shadow_scene = sys.argv[5] if len(sys.argv) > 5 else None
     if shadow_scene:
