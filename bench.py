@@ -81,6 +81,14 @@ def bench(batch=4096, iters=50, compute_dtype=jnp.float32):
 def main():
     import sys
 
+    if jax.default_backend() == "tpu":
+        # persistent XLA cache: the bench program compiles in minutes on a
+        # remote-tunneled backend but restores in seconds once cached — this
+        # keeps the end-of-round bench robust to tunnel slowdowns
+        from nerf_pl_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+
     # one config keeps total driver time bounded (each compile is minutes on
     # remote-tunneled backends); f32 fallback only if bf16 compilation fails
     best = 0.0
