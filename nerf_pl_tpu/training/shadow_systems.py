@@ -1033,6 +1033,13 @@ class ShadowMappingSystem:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         _reject_per_host_data(cfg, type(self).__name__)
+        if cfg.compilation_cache and jax.default_backend() == "tpu":
+            # standalone trainer (not a NeRFSystem subclass): enable the
+            # persistent cache here too — its whole-image step compiles for
+            # ~10 min on a remote tunnel and restores in seconds when cached
+            from ..utils.profiling import enable_compilation_cache
+
+            enable_compilation_cache()
         w, h = cfg.img_wh
         nd = cfg.num_devices or jax.device_count()
         while (w * h) % nd:  # both ray populations are multiples of H*W
