@@ -345,3 +345,22 @@ def test_export_torch_ckpt_loads_in_reference(tmp_path):
             want = model(torch.from_numpy(x)).numpy()
         got = np.asarray(nerf_apply(params[name], jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_import_bare_single_model_state_dict(tmp_path):
+    """A bare NeRF state_dict with no nerf_coarse./nerf_fine. prefixes
+    (a hand-re-saved single model) imports as coarse-only."""
+    torch = pytest.importorskip("torch")
+    from reference_harness import load_reference
+
+    from nerf_pl_tpu.tools.import_torch_ckpt import import_torch_checkpoint
+
+    ref = load_reference()
+    torch.manual_seed(2)
+    model = ref.nerf.NeRF(D=3, W=16, in_channels_xyz=63, in_channels_dir=27,
+                          skips=[1])
+    p = str(tmp_path / "bare_single.ckpt")
+    torch.save(model.state_dict(), p)
+    params = import_torch_checkpoint(p, str(tmp_path / "out.ckpt"))
+    assert set(params) == {"coarse"}
+    assert len(params["coarse"]["xyz_layers"]) == 3

@@ -149,3 +149,59 @@ def test_every_epoch_resumable_with_sparse_validation(blender_root, tmp_path):
 
     state = checkpoints.load_checkpoint(os.path.join(root, "last.ckpt"))
     assert int(state["epoch"]) == 0
+
+
+def test_frame_shard_and_guard_errors(blender_root, tmp_path):
+    """Per-host loading edges: blender frame_shard subsets partition the
+    buffer; an empty shard and a zero-step batch size fail loudly."""
+    import pytest as _pytest
+
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.data.blender import BlenderDataset
+    from nerf_pl_tpu.training.trainer import NeRFSystem
+
+    full = BlenderDataset(str(blender_root), "train", img_wh=(16, 16))
+    parts = [
+        BlenderDataset(str(blender_root), "train", img_wh=(16, 16),
+                       frame_shard=(p, 2))
+        for p in (0, 1)
+    ]
+    assert sum(p.all_rays.shape[0] for p in parts) == full.all_rays.shape[0]
+    n = 16 * 16
+    np.testing.assert_array_equal(
+        parts[0].all_rays.reshape(-1, n, 8),
+        full.all_rays.reshape(-1, n, 8)[0::2],
+    )
+    # 3 train frames over 5 hosts: host 4 gets nothing -> clear error
+    with _pytest.raises(ValueError, match="no frames"):
+        BlenderDataset(str(blender_root), "train", img_wh=(16, 16),
+                       frame_shard=(4, 5))
+    # batch bigger than the per-device ray count -> zero-step epoch error
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=4, N_importance=0, batch_size=10_000, num_epochs=1,
+        exp_name="zb", log_dir=str(tmp_path / "l"),
+        ckpt_dir=str(tmp_path / "c"),
+    )
+    with _pytest.raises(ValueError, match="zero steps"):
+        NeRFSystem(cfg)
+
+
+def test_per_host_data_rejected_by_shadow_trainers(shadow_root, tmp_path):
+    import pytest as _pytest
+
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.training.shadow_systems import (
+        EfficientSMSystem,
+        ShadowMappingSystem,
+    )
+
+    kw = dict(
+        root_dir=shadow_root, img_wh=(8, 8), N_samples=4, N_importance=4,
+        batch_size=8, num_epochs=1, per_host_data=True, exp_name="ph",
+        log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "c"),
+    )
+    with _pytest.raises(ValueError, match="per_host_data"):
+        EfficientSMSystem(Config(dataset_name="efficient_sm", **kw))
+    with _pytest.raises(ValueError, match="per_host_data"):
+        ShadowMappingSystem(Config(dataset_name="shadows", **kw))
