@@ -97,16 +97,28 @@ def sample_pdf(
         else:
             u = jax.random.uniform(ku, (N_rays, N_importance), dtype=weights.dtype)
 
-    inds = searchsorted(cdf, u, side="right").astype(weights.dtype) - 1.0
+    inds_i = jnp.clip(
+        searchsorted(cdf, u, side="right").astype(jnp.int32) - 1,
+        0, N_samples_ - 1,
+    )
     # clamp both ends: u=1.0 (the det-linspace endpoint) lands past the last
     # cdf entry and would otherwise yield z_steps > 1, i.e. a sample beyond
     # ``far`` (outside the frustum; past z=1 for NDC rays)
-    inds = jnp.clip(inds, 0.0, N_samples_ - 1.0)
+    inds = inds_i.astype(weights.dtype)
 
     if jitter is not None:
         offset = jitter  # injected (torch-parity) — honored in det mode too
     elif det:
-        offset = 0.5
+        # In this sampler the inds are INTEGERS — all sub-bin resolution
+        # comes from the offset (z_steps = (inds+offset)/N).  A fixed det
+        # offset (e.g. 0.5) collapses every fine sample onto the coarse
+        # bin-midpoint lattice, measured -3.6 dB at eval vs the random
+        # sampler (docs/results.md).  Interpolating u's position within its
+        # cdf bin keeps det sampling deterministic AND continuous — the
+        # exact inverse-CDF transform of the linspace u.
+        lo = jnp.take_along_axis(cdf, inds_i, axis=1)
+        hi = jnp.take_along_axis(cdf, inds_i + 1, axis=1)
+        offset = jnp.clip((u - lo) / jnp.maximum(hi - lo, eps), 0.0, 1.0)
     else:
         offset = jax.random.uniform(
             kj, (N_rays, N_importance), dtype=weights.dtype

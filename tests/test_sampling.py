@@ -162,3 +162,30 @@ def test_sample_pdf_det_stays_within_near_far():
     z = sample_pdf(rays, weights, 16, det=True)
     assert float(z.max()) <= 6.0 + 1e-6
     assert float(z.min()) >= 2.0 - 1e-6
+
+
+def test_sample_pdf_det_interpolates_within_bins():
+    """det (eval) sampling must be CONTINUOUS: in this sampler the inds are
+    integers, so all sub-bin resolution comes from the offset. A fixed det
+    offset collapses every fine sample onto the coarse bin-midpoint lattice
+    (measured -3.6 dB at eval, docs/results.md); in-bin inverse-CDF
+    interpolation keeps det deterministic AND spread."""
+    b, m, n_imp = 4, 16, 32
+    # all mass in one bin -> every sample lands there, and must SPREAD
+    weights = np.full((b, m), 1e-6, np.float32)
+    weights[:, 5] = 1.0
+    rays = np.zeros((b, 8), np.float32)
+    rays[:, 6], rays[:, 7] = 2.0, 6.0
+    z = np.asarray(sample_pdf(jnp.asarray(rays), jnp.asarray(weights),
+                              n_imp, det=True))
+    width = (6.0 - 2.0) / m
+    lo, hi = 2.0 + 5 * width, 2.0 + 6 * width
+    inside = ((z >= lo - 1e-4) & (z <= hi + 1e-4)).mean()
+    assert inside > 0.9
+    # continuous: essentially every sample distinct (not a midpoint lattice)
+    assert len(np.unique(np.round(z[0], 6))) >= n_imp - 2
+    # deterministic and monotone in u
+    z2 = np.asarray(sample_pdf(jnp.asarray(rays), jnp.asarray(weights),
+                               n_imp, det=True))
+    np.testing.assert_array_equal(z, z2)
+    assert (np.diff(z[0]) >= -1e-6).all()
