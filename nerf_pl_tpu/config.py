@@ -91,6 +91,16 @@ class Config:
     # buffer is assembled from per-process shards — no host ever holds the
     # full all-rays buffer. Single-process: no-op.
     per_host_data: bool = False
+    # per-epoch GLOBAL reshuffle of the device-resident ray buffer
+    # (DistributedSampler semantics, reference train.py:89-94 via Lightning).
+    # Off by default: fixed shards + pmean converge equivalently on normal
+    # datasets with zero per-epoch reshard traffic; the measured escape hatch
+    # (tests/test_shard_shuffle_semantics.py, ~1.5x loss gap on a worst-case
+    # fewer-views-than-chips skew) for view-skewed data.  With
+    # --per_host_data each host reshuffles its own frame subset (views still
+    # mix across that host's devices).  Host-streaming mode already
+    # reshuffles globally every epoch (native store) — flag is a no-op there.
+    global_reshuffle: bool = False
     remat_fine: bool = False  # jax.checkpoint on the fine pass
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
     profile: bool = False  # jax.profiler trace of the first epoch
@@ -183,6 +193,10 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--per_host_data", action="store_true",
                         help="each host loads only its own image subset "
                         "(pod-scale datasets; blender and llff loaders)")
+    parser.add_argument("--global_reshuffle", action="store_true",
+                        help="re-shard the ray buffer with a fresh global "
+                        "permutation every epoch (DistributedSampler "
+                        "semantics) — escape hatch for view-skewed data")
     parser.add_argument("--remat_fine", action="store_true")
     parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() == "true",
                         default=d.use_fused_mlp)

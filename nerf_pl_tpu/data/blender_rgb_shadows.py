@@ -42,6 +42,7 @@ class BlenderRGBEfficientShadows:
         light_near: float = 1.0,
         light_far: float = 200.0,
         seed: int = 0,
+        frame_shard=None,
     ):
         assert img_wh[0] == img_wh[1], "image width must equal image height!"
         self.root_dir = root_dir
@@ -53,6 +54,11 @@ class BlenderRGBEfficientShadows:
         self.near, self.far = near, far
         self.light_near, self.light_far = light_near, light_far
         self.seed = seed
+        # (offset, step): load images/rays only for kept-frames
+        # [offset::step] (pod-scale --per_host_data); pose tables stay full
+        # and host-identical.  The max_images shuffle below is seeded, so
+        # every host selects the SAME subset before sharding it.
+        self.frame_shard = frame_shard
         self._read_meta()
 
     def _read_meta(self):
@@ -85,31 +91,45 @@ class BlenderRGBEfficientShadows:
             ]
 
         if self.split == "train":
-            rays, rgbs, sms, pose_idx = [], [], [], []
+            kept = [
+                f for f in self.meta["frames"]
+                if os.path.exists(sm_path_for(self.root_dir, f["file_path"]))
+            ]
             cam_ms, cam_eyes, poses = [], [], []
-            for frame in self.meta["frames"]:
-                sm_path = sm_path_for(self.root_dir, frame["file_path"])
-                if not os.path.exists(sm_path):
-                    continue
-                name = frame["file_path"].split("/")[-1]
-                rgb_path = os.path.join(self.root_dir, f"{name}.png")
+            for frame in kept:
                 c2w = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]
                 M, eye = posed_ppc(self.meta["camera_angle_x"], (w, h), c2w)
-                p = len(cam_ms)
                 cam_ms.append(M)
                 cam_eyes.append(eye)
                 poses.append(c2w)
-                rgbs.append(blend_rgba(_load_image(rgb_path, self.img_wh)))
-                sms.append(load_sm_image(sm_path, self.img_wh, self.blur))
-                rays.append(make_rays(self.directions, c2w, self.near, self.far))
-                pose_idx.append(np.full(h * w, p, np.int32))
             self.poses = np.stack(poses)
             self.cam_ms = np.stack(cam_ms)
             self.cam_eyes = np.stack(cam_eyes)
+            local = range(len(kept))
+            if self.frame_shard is not None:
+                offset, step = self.frame_shard
+                local = range(offset, len(kept), step)
+                if not local:
+                    raise ValueError(
+                        f"frame_shard {self.frame_shard}: host {offset} gets "
+                        f"no frames out of {len(kept)}"
+                    )
+            rays, rgbs, sms, pose_idx = [], [], [], []
+            for p in local:
+                frame = kept[p]
+                sm_path = sm_path_for(self.root_dir, frame["file_path"])
+                name = frame["file_path"].split("/")[-1]
+                rgb_path = os.path.join(self.root_dir, f"{name}.png")
+                rgbs.append(blend_rgba(_load_image(rgb_path, self.img_wh)))
+                sms.append(load_sm_image(sm_path, self.img_wh, self.blur))
+                rays.append(
+                    make_rays(self.directions, poses[p], self.near, self.far)
+                )
+                pose_idx.append(np.full(h * w, p, np.int32))
             self.all_rays = np.concatenate(rays, 0)
             self.all_rgbs = np.concatenate(rgbs, 0).astype(np.float32)
             self.all_sm = np.concatenate(sms, 0)
-            self.all_pixels = np.tile(self.pixels, (len(poses), 1))
+            self.all_pixels = np.tile(self.pixels, (len(rays), 1))
             self.pose_idx = np.concatenate(pose_idx, 0)
 
     def __len__(self):

@@ -13,8 +13,11 @@ Behavioral contracts:
     ``z_steps = (inds + rand)/N_samples_`` and lerp between near and far.
     NOTE the reference accepts ``det`` but ignores it
     (``models/rendering.py:51-55`` is commented out); we honor ``det`` (a
-    documented fix, see SURVEY.md §7) by using the bin midpoint instead of a
-    random jitter and a linspace for ``u``.
+    documented fix, see SURVEY.md §7) with a linspace for ``u`` and, in place
+    of the random jitter, the exact inverse-CDF position of each ``u`` within
+    its CDF bin (``offset = (u - cdf_lo)/(cdf_hi - cdf_lo)``) — deterministic
+    AND continuous; a fixed midpoint offset collapsed fine samples onto the
+    coarse lattice (measured -3.6 dB, docs/results.md).
   * ``sample_pdf_bins`` — the classical upstream bin-interpolation variant
     (kept behind a flag; reference has it commented at
     ``models/rendering.py:51-81``).

@@ -43,16 +43,30 @@ def _gaussian_kernel(size: int = 3, sigma: float = 1.5) -> np.ndarray:
 
 def ssim(image_pred, image_gt, window_size: int = 3, sigma: float = 1.5,
          max_val: float = 1.0):
-    """SSIM over (1, C, H, W) images with a gaussian window (valid padding),
-    mean-reduced — numerically equivalent to the reference's
-    ``1 - 2*dssim(pred, gt, 3)`` (``metrics.py:15-19``)."""
+    """SSIM over (1, C, H, W) images — numerically equivalent to the
+    reference's ``1 - 2*dssim(pred, gt, 3, 'mean')`` (``metrics.py:15-19``)
+    under its pinned kornia==0.2.0 (requirements.txt:5), whose
+    ``losses.ssim``:
+
+      * filters with a gaussian window (sigma 1.5) at ZERO padding
+        ``(window_size-1)//2`` (same-size output, borders see zeros);
+      * computes the per-pixel dissimilarity as
+        ``clamp(1 - ssim_map, 0, 1) / 2`` — the clamp applies BEFORE the
+        halving, so dssim saturates at 0.5 for anti-correlated pixels and
+        the reference's "in [-1, 1]" comment is aspirational: its ssim
+        actually lands in [0, 1].
+
+    Asserted against that formula (as a cited torch shim driving the
+    reference's own ``metrics.ssim``) in
+    ``tests/test_reference_parity.py::test_ssim_matches_reference``."""
     kern = jnp.asarray(_gaussian_kernel(window_size, sigma))
     c = image_pred.shape[1]
     kern = jnp.broadcast_to(kern[None, None], (c, 1, window_size, window_size))
+    pad = (window_size - 1) // 2
 
     def filt(x):
         return jax.lax.conv_general_dilated(
-            x, kern, (1, 1), "VALID",
+            x, kern, (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=c,
         )
@@ -66,4 +80,5 @@ def ssim(image_pred, image_gt, window_size: int = 3, sigma: float = 1.5,
     s_pg = filt(image_pred * image_gt) - mu_pg
     num = (2 * mu_pg + C1) * (2 * s_pg + C2)
     den = (mu_pp + mu_gg + C1) * (s_pp + s_gg + C2)
-    return jnp.mean(num / den)
+    dssim = jnp.clip(1.0 - num / den, 0.0, 1.0) * 0.5
+    return 1.0 - 2.0 * jnp.mean(dssim)

@@ -82,14 +82,20 @@ def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
 
 
 def _reject_per_host_data(cfg: Config, trainer_name: str) -> None:
-    """``--per_host_data`` is a NeRFSystem (blender/llff) feature; the shadow
-    loaders are per-scene small and every host loads the full dataset.
-    Silently ignoring the flag on a pod would defeat its memory purpose —
-    fail loudly instead."""
+    """``--per_host_data`` is supported by the per-ray trainers
+    (NeRFSystem blender/llff; EfficientSM/RGBSM/LightSampler via
+    ``_ShadowSystemBase``).  The two callers left — ShadowMappingSystem and
+    ShadowsSystem — train on whole-image buffers from the ``shadows``
+    loader, whose reference scales top out at 64²×~100 frames
+    (``launchers/``): ~13 MB of rays+rgbs per host, where replication is
+    the right layout (the per-image composite needs every host's poses
+    anyway).  Silently ignoring the flag on a pod would defeat its memory
+    purpose — fail loudly instead."""
     if cfg.per_host_data:
         raise ValueError(
-            f"--per_host_data is not supported by {trainer_name}; shadow "
-            "datasets load fully on every host"
+            f"--per_host_data is not supported by {trainer_name}; its "
+            "whole-image dataset loads fully on every host (justified in "
+            "_reject_per_host_data)"
         )
 
 
@@ -186,18 +192,35 @@ class _ShadowSystemBase(NeRFSystem):
 
     def _prepare_data(self):
         cfg = self.cfg
-        _reject_per_host_data(cfg, type(self).__name__)
         ds_cls = dataset_dict[cfg.dataset_name]
         kw = self._dataset_kwargs()
-        self.train_dataset = ds_cls(split="train", **kw)
+        # pod-scale host pipeline (VERDICT round-2 next #6): the flagship
+        # shadow trainers scale like the vanilla one — each host loads only
+        # kept-frames[process_index::process_count]; pose tables stay full
+        # (replicated in-step), pose_idx stays global
+        per_host = cfg.per_host_data and jax.process_count() > 1
+        self._per_host = per_host
+        train_kw = kw
+        if cfg.per_host_data:
+            if cfg.dataset_name not in ("efficient_sm", "rgb_sm"):
+                raise ValueError(
+                    "--per_host_data supports the efficient_sm and rgb_sm "
+                    f"shadow loaders (got {cfg.dataset_name})"
+                )
+            if per_host:
+                train_kw = dict(
+                    kw,
+                    frame_shard=(jax.process_index(), jax.process_count()),
+                )
+        self.train_dataset = ds_cls(split="train", **train_kw)
         self.val_dataset = ds_cls(split="val", **kw)
         self.white_back = self.train_dataset.white_back
         ds = self.train_dataset
-        self.rays_buf = shard_rays(ds.all_rays, self.mesh)
-        self.rgbs_buf = shard_rays(ds.all_rgbs, self.mesh)
-        self.pixels_buf = shard_rays(ds.all_pixels, self.mesh)
+        self.rays_buf = shard_rays(ds.all_rays, self.mesh, local=per_host)
+        self.rgbs_buf = shard_rays(ds.all_rgbs, self.mesh, local=per_host)
+        self.pixels_buf = shard_rays(ds.all_pixels, self.mesh, local=per_host)
         self.pose_idx_buf = shard_rays(
-            ds.pose_idx.astype(np.int32)[:, None], self.mesh
+            ds.pose_idx.astype(np.int32)[:, None], self.mesh, local=per_host
         )
         self.cam_ms = replicate(jnp.asarray(ds.cam_ms), self.mesh)
         self.cam_eyes = replicate(jnp.asarray(ds.cam_eyes), self.mesh)
@@ -511,7 +534,9 @@ class RGBSMSystem(EfficientSMSystem):
 
     def _prepare_data(self):
         super()._prepare_data()
-        self.sm_buf = shard_rays(self.train_dataset.all_sm, self.mesh)
+        self.sm_buf = shard_rays(
+            self.train_dataset.all_sm, self.mesh, local=self._per_host
+        )
 
     def _epoch_fn_for(self, light_n: int):
         if light_n in self._epoch_fns:
@@ -1041,9 +1066,22 @@ class ShadowMappingSystem:
 
             enable_compilation_cache()
         w, h = cfg.img_wh
-        nd = cfg.num_devices or jax.device_count()
+        requested = cfg.num_devices or jax.device_count()
+        nd = requested
         while (w * h) % nd:  # both ray populations are multiples of H*W
             nd -= 1
+        if nd != requested:
+            if cfg.num_devices:
+                # fail loud on an explicit, unusable --num_devices (advisor
+                # round 2): quietly dropping to nd loses the D-fold speedup
+                raise ValueError(
+                    f"--num_devices {requested} does not divide "
+                    f"H*W={w * h}; largest usable mesh is {nd}"
+                )
+            print(
+                f"[ShadowMappingSystem] {requested} devices do not divide "
+                f"H*W={w * h}; using a {nd}-device mesh", flush=True,
+            )
         self.mesh = make_mesh(nd)
         self.logger = RunLogger(cfg.log_dir, cfg.exp_name)
         self.rng = jax.random.PRNGKey(cfg.seed)

@@ -456,6 +456,27 @@ class NeRFSystem:
             if os.path.exists(worst):
                 os.remove(worst)
 
+    def _reshuffle_buffers(self, epoch: int) -> None:
+        """``--global_reshuffle``: re-shard the device buffers with a fresh
+        global permutation (DistributedSampler semantics — exactly the
+        ``global`` branch of ``tests/test_shard_shuffle_semantics.py``).
+
+        The permutation RNG is seeded from ``(seed, epoch)`` only, so every
+        host draws the SAME permutation — required because ``shard_rays``
+        assembles the global array from per-host device_puts of one shared
+        source layout.  Under ``--per_host_data`` each host permutes its own
+        frame subset instead (the full buffer exists on no host)."""
+        per_host = self.cfg.per_host_data and jax.process_count() > 1
+        rng = np.random.RandomState(
+            (self.cfg.seed * 1_000_003 + epoch + 1) % (2**32)
+        )
+        rays = self.train_dataset.all_rays
+        perm = rng.permutation(rays.shape[0])
+        self.rays_buf = shard_rays(rays[perm], self.mesh, local=per_host)
+        self.rgbs_buf = shard_rays(
+            self.train_dataset.all_rgbs[perm], self.mesh, local=per_host
+        )
+
     # -- main loop ----------------------------------------------------------
     def _fit_prologue(self):
         """Preemption-safe checkpointing (SURVEY.md §5.3) + NaN debugging —
@@ -498,8 +519,12 @@ class NeRFSystem:
             t0 = time.time()
             with self._epoch_trace(epoch):
                 if self.ray_store is not None:
+                    # the native store already draws a fresh global epoch
+                    # permutation — --global_reshuffle is inherent here
                     losses, psnrs = self._run_streaming_epoch(epoch, ek)
                 else:
+                    if cfg.global_reshuffle:
+                        self._reshuffle_buffers(epoch)
                     self.params, self.opt_state, losses, psnrs = self.epoch_fn(
                         self.params, self.opt_state, self.rays_buf,
                         self.rgbs_buf, ek,

@@ -58,13 +58,30 @@ def main():
     state = load_checkpoint(args.ckpt_path)
     has_fine = "fine" in state.get("params", {})
 
+    # derive the architecture from the exported state_dict so non-default
+    # N_emb_xyz/N_emb_dir/D/W/skips checkpoints load correctly (advisor
+    # round 2) — shapes, not flags, are the source of truth
+    sd = torch.load(exported, map_location="cpu", weights_only=True)["state_dict"]
+    pre = "nerf_coarse."
+    D = sum(1 for k in sd if k.startswith(pre + "xyz_encoding_")
+            and k.endswith(".0.weight") and "final" not in k)
+    W = sd[pre + "sigma.weight"].shape[1]
+    cx = sd[pre + "xyz_encoding_1.0.weight"].shape[1]
+    cd = sd[pre + "dir_encoding.0.weight"].shape[1] - W
+    skips = [i - 1 for i in range(2, D + 1)
+             if sd[pre + f"xyz_encoding_{i}.0.weight"].shape[1] == W + cx]
+    n_emb_xyz, n_emb_dir = (cx - 3) // 6, (cd - 3) // 6
+    assert cx == 3 * (2 * n_emb_xyz + 1) and cd == 3 * (2 * n_emb_dir + 1), (
+        f"non-positional-encoding channel counts xyz={cx} dir={cd}")
+
     models = []
     for name in (["nerf_coarse", "nerf_fine"] if has_fine else ["nerf_coarse"]):
-        m = ref.nerf.NeRF()
+        m = ref.nerf.NeRF(D=D, W=W, in_channels_xyz=cx, in_channels_dir=cd,
+                          skips=skips)
         ref.utils.load_ckpt(m, exported, model_name=name)
         m.eval()
         models.append(m)
-    embeddings = [ref.nerf.Embedding(3, 10), ref.nerf.Embedding(3, 4)]
+    embeddings = [ref.nerf.Embedding(3, n_emb_xyz), ref.nerf.Embedding(3, n_emb_dir)]
 
     ds = BlenderDataset(
         args.root_dir, "test", img_wh=tuple(args.img_wh),

@@ -21,9 +21,9 @@ the reference imports resolve:
     ``torch.searchsorted`` (the upstream kernel's documented contract; the
     reference itself uses the stock call at ``models/rendering_shadows.py:41``).
   * ``kornia.create_meshgrid`` -> the (1, H, W, 2) xy grid it documents.
-  * ``kornia.losses.ssim`` -> NOT faithfully stubbed (it would be circular to
-    re-implement it here); ``metrics.ssim`` stays covered by the hand fixture
-    in ``test_metrics_losses.py``.  The stub raises if called.
+  * ``kornia.losses.ssim`` -> verbatim port of kornia==0.2.0's
+    ``losses.ssim`` (the reference's pin), so ``metrics.ssim`` parity runs
+    against the reference's own ``1 - 2*dssim`` through the real formula.
   * ``torchvision.transforms.ToTensor`` / ``cv2`` -> import-time-only shims so
     ``utils/__init__.py`` (which pulls in visualization) can load; the parity
     tests never render colormaps through them.
@@ -68,13 +68,51 @@ def _install_stubs():
         kornia.create_meshgrid = create_meshgrid
         losses_mod = types.ModuleType("kornia.losses")
 
-        def _ssim_unavailable(*a, **k):
-            raise NotImplementedError(
-                "kornia.losses.ssim is not stubbed faithfully; metrics.ssim "
-                "parity lives in test_metrics_losses.py"
-            )
+        def _kornia_ssim(img1, img2, window_size, reduction="none",
+                         max_val=1.0):
+            """kornia==0.2.0 ``losses.ssim`` (the reference's pin,
+            requirements.txt:5), ported verbatim from its
+            ``kornia/losses/ssim.py``: gaussian window sigma 1.5 (1-D
+            kernels normalized then outer-product), zero padding
+            ``(window_size-1)//2``, per-channel grouped conv, and the
+            per-pixel ``clamp((1-ssim)/2, 0, 1)`` dissimilarity before
+            reduction."""
+            import torch.nn.functional as F
 
-        losses_mod.ssim = _ssim_unavailable
+            def gauss1d(ws, sig):
+                x = torch.arange(ws, dtype=torch.float32) - ws // 2
+                if ws % 2 == 0:
+                    x = x + 0.5
+                g = torch.exp(-(x ** 2) / (2.0 * sig ** 2))
+                return g / g.sum()
+
+            k1 = gauss1d(window_size, 1.5)
+            kern2d = torch.matmul(k1[:, None], k1[None, :])
+            b, c, h, w = img1.shape
+            kernel = kern2d.to(img1.dtype)[None, None].repeat(c, 1, 1, 1)
+            pad = (window_size - 1) // 2
+
+            def filt(x):
+                return F.conv2d(x, kernel, padding=pad, stride=1, groups=c)
+
+            C1 = (0.01 * max_val) ** 2
+            C2 = (0.03 * max_val) ** 2
+            mu1, mu2 = filt(img1), filt(img2)
+            mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+            s1 = filt(img1 * img1) - mu1_sq
+            s2 = filt(img2 * img2) - mu2_sq
+            s12 = filt(img1 * img2) - mu1_mu2
+            ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
+                (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+            )
+            loss = torch.clamp(-ssim_map + 1.0, min=0, max=1) / 2.0
+            if reduction == "mean":
+                return torch.mean(loss)
+            if reduction == "sum":
+                return torch.sum(loss)
+            return loss
+
+        losses_mod.ssim = _kornia_ssim
         kornia.losses = losses_mod
         sys.modules["kornia"] = kornia
         sys.modules["kornia.losses"] = losses_mod

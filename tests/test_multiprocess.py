@@ -103,3 +103,52 @@ def test_two_process_training(blender_root, shadow_root, tmp_path):
         os.path.join(work, "ckpts", "mp", "epoch=1.ckpt")
     )
     assert int(state["epoch"]) == 1
+
+
+def test_two_process_shadow_trainers(shadow_root, tmp_path):
+    """The remaining three sharded trainers under REAL 2-process Gloo
+    collectives (VERDICT round-2 next #1): RGBSM with gradients through the
+    sharded light-cache all_gather, LightSampler's get_K + sampled light
+    render, and ShadowMapping's all_gather'd whole-image composite — all
+    must end with identical params on both processes (the DDP invariant,
+    reference train.py:174-175)."""
+    work = str(tmp_path)
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port), str(shadow_root),
+             work, str(shadow_root), "shadow3"],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = []
+    for pid in (0, 1):
+        with open(os.path.join(work, f"result_{pid}.json")) as f:
+            results.append(json.load(f))
+    assert results[0]["ok"] and results[1]["ok"]
+    for key in ("rgbsm", "light_sampler", "shadow_mapping",
+                "efficient_sm_per_host"):
+        assert results[0][key] is not None, key
+        assert results[0][key] == results[1][key], key

@@ -690,6 +690,31 @@ def test_metrics_match_reference(ref):
     )
 
 
+def test_ssim_matches_reference(ref):
+    """The reference's ``metrics.ssim`` (1 - 2*dssim, kornia-0.2.0 window 3,
+    ``/root/reference/metrics.py:15-20``) driven through the cited kornia
+    shim (``reference_harness._kornia_ssim``) vs our ``metrics.ssim`` —
+    random images, near-identical images, and a non-default window."""
+    rng = np.random.RandomState(11)
+    for wnd, noise in ((3, None), (3, 0.02), (5, None)):
+        pred = rng.rand(1, 3, 17, 13).astype(np.float32)
+        if noise is None:
+            gt = rng.rand(1, 3, 17, 13).astype(np.float32)
+        else:
+            gt = np.clip(
+                pred + noise * rng.randn(1, 3, 17, 13).astype(np.float32),
+                0, 1,
+            )
+        theirs = float(
+            1 - 2 * ref.metrics.dssim(t(pred), t(gt), wnd, "mean")
+        ) if wnd != 3 else float(ref.metrics.ssim(t(pred), t(gt)))
+        ours = float(
+            our_metrics.ssim(jnp.asarray(pred), jnp.asarray(gt),
+                             window_size=wnd)
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # optimizers + schedulers (trajectory parity)
 # ---------------------------------------------------------------------------

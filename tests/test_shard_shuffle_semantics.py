@@ -105,3 +105,43 @@ def test_fixed_shard_matches_global_shuffle_convergence(setup):
     # hatch for skewed datasets.
     ratio = fixed_loss / global_loss
     assert 1 / 2.0 < ratio < 2.0, (init_loss, fixed_loss, global_loss)
+
+
+def test_global_reshuffle_flag_engages(blender_root, tmp_path):
+    """``--global_reshuffle`` (the wired escape hatch, VERDICT round-2 #5):
+    the trainer re-shards the device buffer each epoch with the documented
+    host-identical ``(seed, epoch)`` permutation — matching this module's
+    global branch semantics — and training still runs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nerf_pl_tpu.training.trainer import NeRFSystem
+
+    cfg = Config(
+        root_dir=str(blender_root), dataset_name="blender", img_wh=(16, 16),
+        N_samples=8, N_importance=0, batch_size=8, num_epochs=2, chunk=256,
+        blender_near=2.0, blender_far=6.0, white_back=True, exp_name="gr",
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpts"),
+        num_sanity_val_steps=0, val_every_n_epochs=10,
+        use_fused_mlp=False, compilation_cache=False, global_reshuffle=True,
+    )
+    system = NeRFSystem(cfg)
+
+    def gather(buf):
+        return np.asarray(
+            jax.jit(
+                lambda x: x, out_shardings=NamedSharding(system.mesh, P())
+            )(buf)
+        )
+
+    buf0 = gather(system.rays_buf)  # pre-fit: unshuffled dataset order
+    np.testing.assert_array_equal(
+        buf0, system.train_dataset.all_rays[: buf0.shape[0]]
+    )
+    system.fit()
+    # the buffer now holds epoch 1's permutation (host-identical seeding)
+    rng = np.random.RandomState((cfg.seed * 1_000_003 + 1 + 1) % (2**32))
+    perm = rng.permutation(system.train_dataset.all_rays.shape[0])
+    expected = system.train_dataset.all_rays[perm][: buf0.shape[0]]
+    buf1 = gather(system.rays_buf)
+    np.testing.assert_array_equal(buf1, expected)
+    assert not np.array_equal(buf0, buf1)
