@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--N_importance", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=32 * 1024)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--channel_io", type=lambda v: v.lower() == "true",
+                    default=False,
+                    help="channel-major (8, P) ray IO at the fused-"
+                         "kernel boundary (ops/fused_mlp.py)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +56,7 @@ def main():
             N_samples=args.N_samples, N_importance=args.N_importance,
             perturb=0.0, noise_std=0.0, white_back=True, test_time=True,
             use_fused=jax.default_backend() == "tpu",
+            fused_channel_io=args.channel_io,
         )
 
         def once(i):
@@ -69,6 +74,8 @@ def main():
             json.dumps(
                 {
                     "metric": "render_rays_per_s",
+                    "channel_io": args.channel_io,
+                    "chunk": args.chunk,
                     "img_wh": wh,
                     "seconds": round(dt, 3),
                     "value": round(wh * wh / dt, 1),

@@ -103,6 +103,11 @@ class Config:
     global_reshuffle: bool = False
     remat_fine: bool = False  # jax.checkpoint on the fine pass
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
+    # channel-major (8, P) ray IO at the fused-kernel boundary: eliminates
+    # the 16x lane padding of (P, 8) arrays (see ops/fused_mlp.py) — cuts
+    # kernel-boundary HBM 16x for whole-image rendering.  Default pending
+    # hardware measurement (flip after scripts/bench_channel_io.py).
+    fused_channel_io: bool = False
     profile: bool = False  # jax.profiler trace of the first epoch
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY.md §5.2)
     compilation_cache: bool = True  # persistent XLA cache across processes
@@ -200,6 +205,9 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--remat_fine", action="store_true")
     parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() == "true",
                         default=d.use_fused_mlp)
+    parser.add_argument("--fused_channel_io",
+                        type=lambda s: s.lower() == "true",
+                        default=d.fused_channel_io)
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--debug_nans", action="store_true")
     parser.add_argument("--val_every_n_epochs", type=int,

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from ..models.embedding import posenc
 from ..models.nerf import nerf_apply
 from .compositing import composite, compute_weights
-from .fused_mlp import fused_nerf_apply_raw, supports_fused
+from .fused_mlp import (
+    RAW_COLS,
+    fused_nerf_apply_raw,
+    fused_nerf_apply_raw_t,
+    supports_fused,
+)
 from .sampling import perturb_z_vals, sample_pdf, stratified_z_vals
 
 Results = Dict[str, jnp.ndarray]
@@ -47,13 +52,18 @@ def _query(
     compute_dtype,
     use_fused: bool = False,
     dir_freqs: int = 4,
+    fused_channel_io: bool = False,
 ):
     """Embed positions and run the MLP on the flattened point batch.
 
     ``use_fused`` routes through the raw-input Pallas fused-MLP kernel
     (``ops.fused_mlp`` — whole MLP + positional encoding in VMEM; the XLA
     path is HBM-bound on inter-layer activations); only valid for the
-    reference architecture and on TPU backends.
+    reference architecture and on TPU backends.  ``fused_channel_io``
+    additionally feeds/reads the kernel in channel-major (8, P) layout —
+    the (P, small) arrays at the kernel boundary are lane-padded 16x by TPU
+    tiling, so the packed layout cuts ray-IO HBM traffic 16x (the
+    transposes fuse into the XLA producers/consumers on either side).
     """
     N_rays, S, _ = xyz.shape
     xyz_flat = xyz.reshape(-1, 3)
@@ -61,6 +71,27 @@ def _query(
     # sigma-only queries never consume dirs, so dir_freqs doesn't gate them
     fused = (use_fused and supports_fused(params) and xyz_freqs == 10
              and (sigma_only or dir_freqs == 4))
+    if fused and fused_channel_io:
+        P = N_rays * S
+        xyz_t = jnp.moveaxis(xyz, -1, 0).reshape(3, P)
+        if sigma_only:
+            rest = jnp.zeros((RAW_COLS - 3, P), xyz_t.dtype)
+        else:
+            dirs_t = jnp.broadcast_to(
+                dirs.T[:, :, None], (3, N_rays, S)
+            ).reshape(3, P)
+            rest = jnp.concatenate(
+                [dirs_t, jnp.zeros((RAW_COLS - 6, P), xyz_t.dtype)], axis=0
+            )
+        x_t = jnp.concatenate([xyz_t, rest], axis=0)
+        outT = fused_nerf_apply_raw_t(
+            params, x_t, sigma_only=sigma_only, compute_dtype=compute_dtype
+        )
+        if sigma_only:
+            return outT[0].reshape(N_rays, S), None
+        sigmas = outT[3].reshape(N_rays, S)
+        rgbs = jnp.moveaxis(outT[:3].reshape(3, N_rays, S), 0, -1)
+        return sigmas, rgbs
     if sigma_only:
         if fused:
             out = fused_nerf_apply_raw(
@@ -109,6 +140,7 @@ def render_rays(
     dir_freqs: int = 4,
     compute_dtype=jnp.float32,
     use_fused: bool = False,
+    fused_channel_io: bool = False,
     remat_fine: bool = False,
     overrides: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Results:
@@ -164,6 +196,7 @@ def render_rays(
     sigmas_c, rgbs_c = _query(
         params_coarse, xyz_coarse, dirs_for_query, xyz_freqs,
         coarse_sigma_only, compute_dtype, use_fused, dir_freqs,
+        fused_channel_io,
     )
     weights_coarse = compute_weights(
         sigmas_c, z_vals, rays_d, noise_std, key=k_noise_c,
@@ -201,7 +234,7 @@ def render_rays(
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         fine_query = lambda p, x, d: _query(  # noqa: E731 — closure for remat
             p, x, d, xyz_freqs, sigma_mode, compute_dtype, use_fused,
-            dir_freqs,
+            dir_freqs, fused_channel_io,
         )
         if remat_fine:
             # trade FLOPs for HBM: recompute the fine MLP activations in the

@@ -65,6 +65,7 @@ def render_kwargs_from_cfg(cfg: Config, white_back: bool, train: bool) -> dict:
         white_back=white_back,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         use_fused=use_fused_for_backend(cfg),
+        fused_channel_io=cfg.fused_channel_io,
         remat_fine=cfg.remat_fine if train else False,
     )
 
