@@ -104,10 +104,13 @@ class Config:
     remat_fine: bool = False  # jax.checkpoint on the fine pass
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
     # channel-major (8, P) ray IO at the fused-kernel boundary: eliminates
-    # the 16x lane padding of (P, 8) arrays (see ops/fused_mlp.py) — cuts
-    # kernel-boundary HBM 16x for whole-image rendering.  Default pending
-    # hardware measurement (flip after scripts/bench_channel_io.py).
-    fused_channel_io: bool = False
+    # the 16x lane padding of (P, 8) arrays (see ops/fused_mlp.py).
+    # Measured on v5e (docs/results.md): +26-28% whole-image rendering
+    # (117k -> 147k rays/s @800²) and it lifts the 32768-ray chunk compile
+    # cap; −2% on the MXU-bound train step — so the flag gates the
+    # whole-image/eval path only (render_kwargs_from_cfg passes it for
+    # non-train programs; render_image defaults it on when fused).
+    fused_channel_io: bool = True
     profile: bool = False  # jax.profiler trace of the first epoch
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY.md §5.2)
     compilation_cache: bool = True  # persistent XLA cache across processes

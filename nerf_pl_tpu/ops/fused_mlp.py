@@ -10,8 +10,11 @@ reference ``models/nerf.py:41-123``) for a block of points inside VMEM:
 HBM traffic per point drops to one narrow input read and one narrow
 output write (+ the weight set, resident across grid steps).  NOTE the
 (P, 8) ray-IO arrays are lane-padded to 128 by TPU tiled layouts (16x
-memory) — points-per-call is memory-bound at ~6M, which is why the
-whole-image renderer chunks at 32768 rays (``tools/render.py``).
+memory); the channel-major ``fused_nerf_apply_raw_t`` variant below
+eliminates that padding entirely ((8, P) arrays tile exactly) — +26-28%
+whole-image rendering and no more 32768-ray chunk-compile cap
+(docs/results.md round 3); the row-major kernels stay the train-step
+path (MXU-bound there, packed IO measured -2%).
 
 Design:
   * Points are blocked on the grid dimension; all weights use constant
@@ -1338,7 +1341,7 @@ def fused_nerf_apply_raw_t(
     ever hits HBM)."""
     P = x_rawT.shape[1]
     if stash_blocks == "auto":
-        stash_blocks = DEFAULT_STASH_BLOCKS if P <= STASH_MAX_POINTS else None
+        stash_blocks = _auto_stash_blocks(P, compute_dtype)
     bf, bb = _blocks(block)
     if stash_blocks is not None:
         blocks = (bf, stash_blocks[0], stash_blocks[1])
@@ -1361,11 +1364,25 @@ def fused_nerf_apply_raw_t(
 # 34.8 ms for the remat backward — the stash write costs ~1 ms in the
 # VJP forward and the backward becomes pure dgrad+wgrad compute.
 DEFAULT_STASH_BLOCKS = (768, 768)
+# f32 compute dtype doubles every VMEM-resident block (weights, stash,
+# activations): the (768, 768) default measured 16.89 MB of scoped VMEM in
+# the stash backward — past the 16 MB limit, a hard compile error (observed
+# on hardware, round 3).  Halve the blocks so the f32 path compiles; bf16
+# remains the production dtype.
+DEFAULT_STASH_BLOCKS_F32 = (384, 384)
 # The stash is (P, 2432) compute-dtype in HBM (~4.9 KB/pt bf16) and both
 # the coarse and fine passes' stashes are live across the loss — past this
 # point count "auto" falls back to the remat backward instead of OOMing
 # a 16 GB chip (e.g. batch 16384 x 192 fine samples = 3.1M pts = 14 GB).
 STASH_MAX_POINTS = 2_000_000
+
+
+def _auto_stash_blocks(P, compute_dtype):
+    if P > STASH_MAX_POINTS:
+        return None
+    if np.dtype(compute_dtype).itemsize >= 4:
+        return DEFAULT_STASH_BLOCKS_F32
+    return DEFAULT_STASH_BLOCKS
 
 
 def fused_nerf_apply_raw(
@@ -1391,7 +1408,7 @@ def fused_nerf_apply_raw(
     P = xyz.shape[0]
     sigma_only = dirs is None
     if stash_blocks == "auto":
-        stash_blocks = DEFAULT_STASH_BLOCKS if P <= STASH_MAX_POINTS else None
+        stash_blocks = _auto_stash_blocks(P, compute_dtype)
     parts = [xyz.astype(jnp.float32)]
     parts.append(
         jnp.zeros((P, 3), jnp.float32) if sigma_only else dirs.astype(jnp.float32)

@@ -80,6 +80,11 @@ def render_image(
     **render_kwargs,
 ) -> Dict[str, jnp.ndarray]:
     """Render N rays with bounded memory; returns the render_rays dict."""
+    # whole-image rendering is the memory-bound path where the packed
+    # channel-major ray IO pays off (+26% at 800², docs/results.md); default
+    # it on whenever the fused kernel runs, unless the caller overrode it
+    if render_kwargs.get("use_fused"):
+        render_kwargs.setdefault("fused_channel_io", True)
     n = rays.shape[0]
     d = 1 if mesh is None else mesh.devices.size
     chunk, n_chunks, n_pad = plan_chunks(n, chunk, d)

@@ -65,7 +65,10 @@ def render_kwargs_from_cfg(cfg: Config, white_back: bool, train: bool) -> dict:
         white_back=white_back,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         use_fused=use_fused_for_backend(cfg),
-        fused_channel_io=cfg.fused_channel_io,
+        # measured (docs/results.md): packed ray IO wins 26-28% on the
+        # memory-bound whole-image render path but costs ~2% in the
+        # MXU-bound train step — so only the non-train programs use it
+        fused_channel_io=cfg.fused_channel_io and not train,
         remat_fine=cfg.remat_fine if train else False,
     )
 
@@ -394,6 +397,10 @@ class NeRFSystem:
         cfg = self.cfg
         rkw = render_kwargs_from_cfg(cfg, self.white_back, train=True)
         rkw["mode"] = self.mode
+        # train=True above only selects perturb/noise parity with the
+        # reference's validation_step; this IS the whole-image render path,
+        # where packed ray IO wins (see render_kwargs_from_cfg)
+        rkw["fused_channel_io"] = cfg.fused_channel_io
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)

@@ -187,21 +187,31 @@ def test_frame_shard_and_guard_errors(blender_root, tmp_path):
         NeRFSystem(cfg)
 
 
-def test_per_host_data_rejected_by_shadow_trainers(shadow_root, tmp_path):
+def test_per_host_data_policy_for_shadow_trainers(shadow_root, tmp_path):
+    """Round 3: --per_host_data is SUPPORTED by the per-ray shadow trainers
+    (efficient_sm/rgb_sm loaders take frame_shard; single-process it is a
+    no-op), and still fail-loud rejected by the whole-image trainers
+    (justified in _reject_per_host_data)."""
     import pytest as _pytest
 
     from nerf_pl_tpu.config import Config
     from nerf_pl_tpu.training.shadow_systems import (
         EfficientSMSystem,
         ShadowMappingSystem,
+        ShadowsSystem,
     )
 
     kw = dict(
         root_dir=shadow_root, img_wh=(8, 8), N_samples=4, N_importance=4,
         batch_size=8, num_epochs=1, per_host_data=True, exp_name="ph",
         log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "c"),
+        Light_N_importance=0, num_sanity_val_steps=0,
     )
-    with _pytest.raises(ValueError, match="per_host_data"):
-        EfficientSMSystem(Config(dataset_name="efficient_sm", **kw))
+    # accepted (no-op single-process); multi-process coverage in
+    # mp_worker.run_shadow3's efficient_sm_per_host fit
+    system = EfficientSMSystem(Config(dataset_name="efficient_sm", **kw))
+    assert system.num_poses == 3  # full pose table
     with _pytest.raises(ValueError, match="per_host_data"):
         ShadowMappingSystem(Config(dataset_name="shadows", **kw))
+    with _pytest.raises(ValueError, match="per_host_data"):
+        ShadowsSystem(Config(dataset_name="shadows", **kw))
