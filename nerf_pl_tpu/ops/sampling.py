@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .searchsorted import searchsorted
+from .searchsorted import searchsorted, searchsorted_interp
 
 
 def stratified_z_vals(
@@ -100,6 +100,25 @@ def sample_pdf(
         else:
             u = jax.random.uniform(ku, (N_rays, N_importance), dtype=weights.dtype)
 
+    if det and jitter is None:
+        # In this sampler the inds are INTEGERS — all sub-bin resolution
+        # comes from the offset (z_steps = (inds+offset)/N).  A fixed det
+        # offset (e.g. 0.5) collapses every fine sample onto the coarse
+        # bin-midpoint lattice, measured -3.6 dB at eval vs the random
+        # sampler (docs/results.md).  Interpolating u's position within its
+        # cdf bin keeps det sampling deterministic AND continuous — the
+        # exact inverse-CDF transform of the linspace u.
+        # GATHER-FREE: rank and both bin endpoints come from one masked
+        # compare-reduce pass (``searchsorted_interp``) — per-draw gathers
+        # of cdf[ind]/cdf[ind+1] measured 65 ms per 32768-ray eval chunk on
+        # TPU (164k -> 246k rays/s whole-image, docs/results.md round 3)
+        ranks, lo, hi = searchsorted_interp(cdf, u)
+        inds = jnp.clip(ranks - 1, 0, N_samples_ - 1).astype(weights.dtype)
+        offset = jnp.clip((u - lo) / jnp.maximum(hi - lo, eps), 0.0, 1.0)
+        z_steps = (inds + offset) / N_samples_
+        near, far = rays[:, -2:-1], rays[:, -1:]
+        return near * (1.0 - z_steps) + far * z_steps
+
     inds_i = jnp.clip(
         searchsorted(cdf, u, side="right").astype(jnp.int32) - 1,
         0, N_samples_ - 1,
@@ -111,22 +130,6 @@ def sample_pdf(
 
     if jitter is not None:
         offset = jitter  # injected (torch-parity) — honored in det mode too
-    elif det:
-        # In this sampler the inds are INTEGERS — all sub-bin resolution
-        # comes from the offset (z_steps = (inds+offset)/N).  A fixed det
-        # offset (e.g. 0.5) collapses every fine sample onto the coarse
-        # bin-midpoint lattice, measured -3.6 dB at eval vs the random
-        # sampler (docs/results.md).  Interpolating u's position within its
-        # cdf bin keeps det sampling deterministic AND continuous — the
-        # exact inverse-CDF transform of the linspace u.
-        # flat-index take, NOT take_along_axis: the axis-1 gather lowers
-        # poorly on TPU (measured 237k -> 152k rays/s whole-image render);
-        # the flat form is the same pattern the shadow-map depth gather uses
-        row0 = jnp.arange(N_rays, dtype=jnp.int32)[:, None] * cdf.shape[1]
-        flat_cdf = cdf.reshape(-1)
-        lo = jnp.take(flat_cdf, row0 + inds_i)
-        hi = jnp.take(flat_cdf, row0 + inds_i + 1)
-        offset = jnp.clip((u - lo) / jnp.maximum(hi - lo, eps), 0.0, 1.0)
     else:
         offset = jax.random.uniform(
             kj, (N_rays, N_importance), dtype=weights.dtype

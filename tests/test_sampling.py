@@ -189,3 +189,40 @@ def test_sample_pdf_det_interpolates_within_bins():
                                n_imp, det=True))
     np.testing.assert_array_equal(z, z2)
     assert (np.diff(z[0]) >= -1e-6).all()
+
+
+def test_searchsorted_interp_matches_gather_formulation():
+    """The gather-free rank+endpoints op (``searchsorted_interp`` — jnp AND
+    Pallas-interpret) must reproduce the explicit cdf[ind]/cdf[ind+1]
+    gathers it replaced, including the u=0 / u=1 endpoints and u exactly on
+    a cdf knot."""
+    from nerf_pl_tpu.ops.searchsorted import (
+        searchsorted_interp_jnp,
+        searchsorted_interp_pallas,
+        searchsorted_jnp,
+    )
+
+    rng = np.random.RandomState(3)
+    B, M, K = 16, 65, 128
+    w = rng.rand(B, M - 1).astype(np.float32) + 1e-3
+    cdf = np.cumsum(w / w.sum(1, keepdims=True), axis=1)
+    cdf = np.concatenate([np.zeros((B, 1), np.float32), cdf], 1)
+    u = rng.rand(B, K).astype(np.float32)
+    u[:, 0], u[:, 1] = 0.0, 1.0
+    u[:, 2] = cdf[:, 7]  # exactly on a knot
+    cdf_j, u_j = jnp.asarray(cdf), jnp.asarray(u)
+
+    ranks_ref = np.asarray(searchsorted_jnp(cdf_j, u_j))
+    ind = np.clip(ranks_ref - 1, 0, M - 2)  # production clip (cdf has M cols)
+    rows = np.arange(B)[:, None]
+    lo_ref = cdf[rows, ind]
+    hi_ref = cdf[rows, ind + 1]
+
+    for fn in (
+        searchsorted_interp_jnp,
+        lambda c, v: searchsorted_interp_pallas(c, v, interpret=True),
+    ):
+        ranks, lo, hi = (np.asarray(a) for a in fn(cdf_j, u_j))
+        np.testing.assert_array_equal(ranks, ranks_ref)
+        np.testing.assert_allclose(lo, lo_ref, rtol=0, atol=1e-7)
+        np.testing.assert_allclose(hi, hi_ref, rtol=0, atol=1e-7)
