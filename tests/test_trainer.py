@@ -215,3 +215,21 @@ def test_per_host_data_policy_for_shadow_trainers(shadow_root, tmp_path):
         ShadowMappingSystem(Config(dataset_name="shadows", **kw))
     with _pytest.raises(ValueError, match="per_host_data"):
         ShadowsSystem(Config(dataset_name="shadows", **kw))
+
+
+def test_fused_channel_io_policy(tmp_path):
+    """Packed ray IO gates on the program type: train programs stay
+    row-major (measured -2%), whole-image/eval programs get packed IO
+    (measured +23%) — docs/results.md round 3."""
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.training.trainer import render_kwargs_from_cfg
+
+    cfg = Config()
+    assert cfg.fused_channel_io  # default on (eval path)
+    assert render_kwargs_from_cfg(cfg, True, train=True)[
+        "fused_channel_io"] is False
+    assert render_kwargs_from_cfg(cfg, True, train=False)[
+        "fused_channel_io"] is True
+    off = Config(fused_channel_io=False)
+    assert render_kwargs_from_cfg(off, True, train=False)[
+        "fused_channel_io"] is False
