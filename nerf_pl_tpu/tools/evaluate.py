@@ -23,6 +23,10 @@ from ..training.checkpoints import load_ckpt_into
 from ..training.metrics import psnr as psnr_metric
 from .render import render_image
 
+# frames kept in flight by the pipelined eval loop (1 = fully serial);
+# module-level so benchmarks/tests can override
+EVAL_WINDOW = 3
+
 
 def get_opts(argv=None):
     parser = argparse.ArgumentParser()
@@ -36,10 +40,9 @@ def get_opts(argv=None):
     parser.add_argument("--N_samples", type=int, default=64)
     parser.add_argument("--N_importance", type=int, default=128)
     parser.add_argument("--use_disp", default=False, action="store_true")
-    # reference value (eval.py:65). Larger chunks are NOT faster here and a
-    # 131072-ray chunk OOMs: TPU tiled layouts pad the kernel's (P, 8)
-    # ray-input/output arrays to 128 lanes (16x), so points-per-chunk is
-    # memory-bound at ~6M
+    # reference value (eval.py:65). With the packed channel-major ray IO
+    # (round 3) larger chunks compile too, but 32768 measures fastest —
+    # keep the reference default
     parser.add_argument("--chunk", type=int, default=32 * 1024)
     parser.add_argument("--ckpt_path", type=str, required=True)
     parser.add_argument("--save_depth", default=False, action="store_true")
@@ -108,13 +111,23 @@ def run(args) -> Optional[float]:
         test_time=True,
         use_fused=jax.default_backend() == "tpu",
     )
-    for i in range(len(dataset)):
+    # pipelined frame loop: renders dispatch asynchronously, so keeping a
+    # small in-flight window overlaps frame i's device render with frame
+    # i-1's host fetch, PNG/PFM writes, PSNR, and frame i+1's dataset IO
+    # (per-dispatch latency is ~0.5 s through a remote-tunneled backend —
+    # serializing it against host work doubles eval wall-clock on long
+    # test splits).  Frames are processed strictly in order.
+    from collections import deque
+
+    def submit(i):
         sample = dataset[i]
         rays = jnp.asarray(sample["rays"])
         results = render_image(
             params, rays, jax.random.PRNGKey(i), chunk=args.chunk, **rkw
         )
-        jax.block_until_ready(results)
+        return i, sample, results
+
+    def process(i, sample, results):
         typ = "fine" if "rgb_fine" in results else "coarse"
         img_pred = np.asarray(results[f"rgb_{typ}"]).reshape(h, w, 3)
 
@@ -138,7 +151,17 @@ def run(args) -> Optional[float]:
 
         if "rgbs" in sample:
             gt = np.asarray(sample["rgbs"]).reshape(h, w, 3)
-            psnrs.append(float(psnr_metric(jnp.asarray(gt), jnp.asarray(img_pred))))
+            psnrs.append(
+                float(psnr_metric(jnp.asarray(gt), jnp.asarray(img_pred)))
+            )
+
+    inflight = deque()
+    for i in range(len(dataset)):
+        inflight.append(submit(i))
+        if len(inflight) >= max(1, EVAL_WINDOW):
+            process(*inflight.popleft())
+    while inflight:
+        process(*inflight.popleft())
 
     imageio.mimsave(
         os.path.join(dir_name, f"{args.scene_name}.gif"), imgs, fps=30
