@@ -101,6 +101,39 @@ def test_render_image_sharded_matches_single():
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_render_image_sharded_with_packed_kernel(monkeypatch):
+    """The packed channel-major fused kernel INSIDE the sharded whole-image
+    render (shard_map over the 8-device mesh + pallas interpret) — the
+    combination a pod user's validation runs; nothing else executes it."""
+    import nerf_pl_tpu.ops.fused_mlp as fm
+    import nerf_pl_tpu.ops.rendering as rend
+
+    orig = fm.fused_nerf_apply_raw_t
+
+    def interp(params, x_t, sigma_only=False, **kw):
+        return orig(params, x_t, sigma_only=sigma_only,
+                    compute_dtype=jnp.float32, block=16, interpret=True,
+                    stash_blocks=None)
+
+    monkeypatch.setattr(rend, "fused_nerf_apply_raw_t", interp)
+
+    # the fused kernel is specialized to the reference arch (D8/W256)
+    params = {"coarse": init_nerf(jax.random.PRNGKey(0))}
+    rays, _ = _toy_data(64, jax.random.PRNGKey(6))
+    kw = dict(N_samples=4, N_importance=0, perturb=0.0, noise_std=0.0)
+    plain = render_image(params, jnp.asarray(rays), jax.random.PRNGKey(7),
+                         chunk=16, mesh=None, **kw)
+    mesh = make_mesh(8)
+    packed = render_image(
+        params, jnp.asarray(rays), jax.random.PRNGKey(7), chunk=16,
+        mesh=mesh, use_fused=True, fused_channel_io=True, **kw,
+    )
+    for k in plain:
+        np.testing.assert_allclose(
+            np.asarray(plain[k]), np.asarray(packed[k]), rtol=5e-4, atol=5e-4
+        )
+
+
 def test_plan_chunks_economy():
     """Regression: a huge default --chunk on a tiny image must not inflate
     the padded render (256x waste once aborted 8-device CPU validation via
