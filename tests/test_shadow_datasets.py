@@ -125,3 +125,59 @@ def test_blender_black_and_white_is_raw_grayscale(shadow_root):
     # replicated channels
     np.testing.assert_array_equal(rgbs[:, 0], rgbs[:, 1])
     np.testing.assert_array_equal(rgbs[:, 1], rgbs[:, 2])
+
+
+def test_frame_shard_loaders(shadow_root):
+    """--per_host_data loader contract (both shadow loaders): full pose
+    tables on EVERY shard (the trainers replicate them), image rows
+    partitioned exactly kept-frames[offset::step] with GLOBAL pose_idx."""
+    from nerf_pl_tpu.data.blender_efficient_sm import BlenderEfficientShadows
+    from nerf_pl_tpu.data.blender_rgb_shadows import BlenderRGBEfficientShadows
+
+    for cls, kw in (
+        (BlenderEfficientShadows, {}),
+        (BlenderRGBEfficientShadows, {"max_images": -1}),
+    ):
+        full = cls(shadow_root, "train", img_wh=(8, 8), **kw)
+        shards = [
+            cls(shadow_root, "train", img_wh=(8, 8), frame_shard=(p, 2), **kw)
+            for p in (0, 1)
+        ]
+        n_frames = full.cam_ms.shape[0]
+        for sh in shards:
+            # pose tables identical to the full load on every shard
+            np.testing.assert_array_equal(sh.cam_ms, full.cam_ms)
+            np.testing.assert_array_equal(sh.cam_eyes, full.cam_eyes)
+        # shard p holds exactly frames[p::2]'s rays, with global pose_idx
+        hw = 64
+        for p, sh in enumerate(shards):
+            frames = list(range(p, n_frames, 2))
+            assert sh.all_rays.shape[0] == len(frames) * hw
+            np.testing.assert_array_equal(
+                np.unique(sh.pose_idx), np.asarray(frames, np.int32)
+            )
+            np.testing.assert_array_equal(
+                sh.all_rays,
+                np.concatenate([full.all_rays[f * hw:(f + 1) * hw]
+                                for f in frames]),
+            )
+            np.testing.assert_array_equal(
+                sh.all_rgbs,
+                np.concatenate([full.all_rgbs[f * hw:(f + 1) * hw]
+                                for f in frames]),
+            )
+            if hasattr(full, "all_sm"):
+                np.testing.assert_array_equal(
+                    sh.all_sm,
+                    np.concatenate([full.all_sm[f * hw:(f + 1) * hw]
+                                    for f in frames]),
+                )
+        # union covers every row exactly once
+        assert sum(s.all_rays.shape[0] for s in shards) == full.all_rays.shape[0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frame_shard"):
+        BlenderEfficientShadows(
+            shadow_root, "train", img_wh=(8, 8), frame_shard=(5, 99)
+        )
