@@ -54,6 +54,9 @@ def get_opts(argv=None):
     parser.add_argument("--blender_far", type=float, default=6.0)
     parser.add_argument("--white_back", type=lambda s: s.lower() == "true",
                         default=None)
+    parser.add_argument("--eval_window", type=int, default=None,
+                        help="frames kept in flight by the pipelined eval "
+                             "loop (default 3; 1 = fully serial)")
     return parser.parse_args(argv)
 
 
@@ -155,10 +158,11 @@ def run(args) -> Optional[float]:
                 float(psnr_metric(jnp.asarray(gt), jnp.asarray(img_pred)))
             )
 
+    window = getattr(args, "eval_window", None) or EVAL_WINDOW
     inflight = deque()
     for i in range(len(dataset)):
         inflight.append(submit(i))
-        if len(inflight) >= max(1, EVAL_WINDOW):
+        if len(inflight) >= max(1, window):
             process(*inflight.popleft())
     while inflight:
         process(*inflight.popleft())
