@@ -66,7 +66,13 @@ from .metrics import psnr as psnr_metric
 from .trainer import NeRFSystem, init_params
 
 
-def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
+def _sigma_render_kwargs(
+    cfg: Config, n_importance: int, channel_io: bool = False
+) -> dict:
+    """``channel_io=True`` for the whole-image LIGHT renders: packed ray IO
+    measured +4.7% on the 200² light fwd+bwd (166 vs 174 ms, v5e) — big
+    renders amortize the transposes the 4k-ray camera batch does not
+    (that one measured −2%, docs/results.md round 3)."""
     from .trainer import use_fused_for_backend
 
     return dict(
@@ -78,6 +84,7 @@ def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
         mode="sigma",
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         use_fused=use_fused_for_backend(cfg),
+        fused_channel_io=channel_io and cfg.fused_channel_io,
     )
 
 
@@ -286,7 +293,7 @@ class EfficientSMSystem(_ShadowSystemBase):
         optimizer = self.optimizer
         B = cfg.batch_size
         rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance)
-        rkw_light = _sigma_render_kwargs(cfg, light_n)
+        rkw_light = _sigma_render_kwargs(cfg, light_n, channel_io=True)
         fine = cfg.N_importance > 0
         k_update = max(1, cfg.sample_light_depth_every)
         grad_on_light = cfg.grad_on_light
@@ -477,7 +484,7 @@ class EfficientSMSystem(_ShadowSystemBase):
     # -- validation: full-image camera + light render then compositing ------
     def validation(self, epoch: int, max_images: Optional[int] = None):
         cfg = self.cfg
-        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -555,7 +562,7 @@ class RGBSMSystem(EfficientSMSystem):
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             use_fused=use_fused_for_backend(cfg),
         )
-        rkw_light = _sigma_render_kwargs(cfg, light_n)
+        rkw_light = _sigma_render_kwargs(cfg, light_n, channel_io=True)
         fine = cfg.N_importance > 0
         k_update = max(1, cfg.sample_light_depth_every)
         grad_on_light = cfg.grad_on_light
@@ -722,7 +729,7 @@ class RGBSMSystem(EfficientSMSystem):
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             use_fused=use_fused_for_backend(cfg),
         )
-        rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -977,8 +984,8 @@ class LightSamplerSystem(_ShadowSystemBase):
         w, h = cfg.img_wh
         fine = cfg.N_importance > 0
         light_n = max(cfg.Light_N_importance, 0)
-        rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance)
-        rkw_light = _sigma_render_kwargs(cfg, light_n)
+        rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
+        rkw_light = _sigma_render_kwargs(cfg, light_n, channel_io=True)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -1211,7 +1218,7 @@ class ShadowMappingSystem:
         (eval batch size is always 1, ``:167``), log val loss/PSNR and dump
         gt/rgb/depth PNGs for the first frame."""
         cfg = self.cfg
-        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
         fine = cfg.N_importance > 0
         n_img = len(self.val_dataset)
         if max_images is not None:
