@@ -332,3 +332,34 @@ def test_trainer_resumes_imported_full_state(ref, blender_root, tmp_path):
         model.state_dict()["sigma.weight"].numpy().T,
         rtol=0, atol=1e-6,
     )
+
+
+def test_full_state_cli_round_trip(ray_buffer, tmp_path):
+    """The import_torch_ckpt CLI surface: --full_state in both directions
+    (flag wiring, not just the library functions)."""
+    from nerf_pl_tpu.tools.import_torch_ckpt import main as cli
+
+    params0 = {"coarse": init_nerf(jax.random.PRNGKey(5), D=2, W=16)}
+    opt = get_optimizer("adam", lambda step: LR)
+    rays_all, rgbs_all = ray_buffer
+    step = _jax_step_fn(opt)
+    params, opt_state, _ = _jax_steps(
+        step, params0, opt.init(params0), rays_all, rgbs_all, 0, 2
+    )
+    ours = str(tmp_path / "cli_ours.ckpt")
+    checkpoints.save_checkpoint(
+        ours, {"params": jax.device_get(params),
+               "opt_state": jax.device_get(opt_state), "epoch": 1},
+    )
+    exported = str(tmp_path / "cli_ref.ckpt")
+    cli(["--ckpt_path", ours, "--out_path", exported, "--export",
+         "--full_state", "--lr", str(LR)])
+    back = str(tmp_path / "cli_back.ckpt")
+    cli(["--ckpt_path", exported, "--out_path", back, "--full_state"])
+    state = checkpoints.load_checkpoint(back)
+    assert int(np.asarray(state["epoch"])) == 1
+    # moments survived the round trip
+    raw = checkpoints.load_checkpoint(ours)
+    a = np.asarray(state["opt_state"]["0"]["mu"]["coarse"]["sigma"]["w"])
+    b = np.asarray(raw["opt_state"]["0"]["mu"]["coarse"]["sigma"]["w"])
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
