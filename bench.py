@@ -32,6 +32,9 @@ def make_scan_steps(optimizer, compute_dtype, iters):
             N_samples=64, N_importance=128, perturb=1.0, noise_std=1.0,
             white_back=True, compute_dtype=compute_dtype,
             use_fused=jax.default_backend() == "tpu",
+            # production default: packed channel-major ray IO (+10%
+            # measured on this step — docs/results.md round 3)
+            fused_channel_io=True,
         )
         return jnp.mean((out["rgb_coarse"] - rgbs) ** 2) + jnp.mean(
             (out["rgb_fine"] - rgbs) ** 2

@@ -100,16 +100,18 @@ class Config:
     # --per_host_data each host reshuffles its own frame subset (views still
     # mix across that host's devices).  Host-streaming mode already
     # reshuffles globally every epoch (native store) — flag is a no-op there.
+    # Supported by NeRFSystem and ShadowsSystem; the shuffle=False-parity
+    # shadow trainers reject it loudly (shadow_systems.py
+    # _reject_global_reshuffle).
     global_reshuffle: bool = False
     remat_fine: bool = False  # jax.checkpoint on the fine pass
     use_fused_mlp: bool = True  # Pallas fused-MLP kernel (TPU backends only)
     # channel-major (8, P) ray IO at the fused-kernel boundary: eliminates
     # the 16x lane padding of (P, 8) arrays (see ops/fused_mlp.py).
-    # Measured on v5e (docs/results.md): +26-28% whole-image rendering
-    # (117k -> 147k rays/s @800²) and it lifts the 32768-ray chunk compile
-    # cap; −2% on the MXU-bound train step — so the flag gates the
-    # whole-image/eval path only (render_kwargs_from_cfg passes it for
-    # non-train programs; render_image defaults it on when fused).
+    # Measured on v5e (docs/results.md round 3): +10% on the train step
+    # (99.6k -> 109.8k rays/s), +23% whole-image rendering (246k -> 302k),
+    # and it lifts the 32768-ray chunk compile cap.  The production default
+    # for EVERY program; this flag turns it off everywhere.
     fused_channel_io: bool = True
     profile: bool = False  # jax.profiler trace of the first epoch
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY.md §5.2)

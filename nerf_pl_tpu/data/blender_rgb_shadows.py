@@ -105,15 +105,20 @@ class BlenderRGBEfficientShadows:
             self.poses = np.stack(poses)
             self.cam_ms = np.stack(cam_ms)
             self.cam_eyes = np.stack(cam_eyes)
-            local = range(len(kept))
+            local = list(range(len(kept)))
             if self.frame_shard is not None:
                 offset, step = self.frame_shard
-                local = range(offset, len(kept), step)
+                local = list(range(offset, len(kept), step))
                 if not local:
                     raise ValueError(
                         f"frame_shard {self.frame_shard}: host {offset} gets "
                         f"no frames out of {len(kept)}"
                     )
+                # DistributedSampler-style wrap: equalize rows per host so
+                # shard_rays(local=True)'s global-MIN truncation drops
+                # nothing (see data/blender.py)
+                target = -(-len(kept) // step)
+                local = local + local[: target - len(local)]
             rays, rgbs, sms, pose_idx = [], [], [], []
             for p in local:
                 frame = kept[p]

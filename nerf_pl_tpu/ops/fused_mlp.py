@@ -984,17 +984,31 @@ def _embed_tile_t(x_t):
     )
 
 
-def _t8(a):
-    """(BP, 8) -> (8, BP) via an exact one-hot matmul (f32 HIGHEST: the
-    bf16x3 splitting is lossless against power-of-two operands, so this is
-    a bit-exact transpose on the MXU — no Mosaic relayout)."""
-    n = a.shape[1]
-    eye = (
+def _eye8(n):
+    return (
         jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     ).astype(jnp.float32)
+
+
+def _t8(a):
+    """(BP, 8) -> (8, BP) via an exact one-hot matmul (f32 HIGHEST: the
+    bf16x3 splitting is lossless against power-of-two operands, so this is
+    a bit-exact transpose on the MXU — no Mosaic relayout).  The identity
+    always lives on the NARROW (8-wide) dim."""
     return jax.lax.dot_general(
-        eye, a, (((1,), (1,)), ((), ())),
+        _eye8(a.shape[1]), a, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _t8_back(a):
+    """(8, BP) -> (BP, 8), same exact one-hot trick with the (8, 8) eye —
+    NOT ``_t8``, whose eye would be (BP, BP) here (2.4 MB of VMEM and 96x
+    the FLOPs at the default 768-point backward block; review round 3)."""
+    return jax.lax.dot_general(
+        a, _eye8(a.shape[0]), (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
@@ -1052,7 +1066,7 @@ def _bwd_kernel_raw_stash_t(*refs_list, sigma_only):
             grefs[k][:] = jnp.zeros_like(grefs[k])
 
     x = _embed_tile_t(x_ref[:].astype(jnp.float32))
-    g_out = _t8(g_ref[:].astype(jnp.float32))
+    g_out = _t8_back(g_ref[:].astype(jnp.float32))
 
     def act(i):
         if i == 0:
@@ -1135,7 +1149,7 @@ def _bwd_kernel_raw_t(*refs_list, sigma_only):
             grefs[k][:] = jnp.zeros_like(grefs[k])
 
     x = _embed_tile_t(x_ref[:].astype(jnp.float32))
-    g_out = _t8(g_ref[:].astype(jnp.float32))
+    g_out = _t8_back(g_ref[:].astype(jnp.float32))
     acts, sigma, extras = _fwd_body(refs, x, sigma_only)
     h_last = acts[-1]
 

@@ -158,7 +158,9 @@ def run(args) -> Optional[float]:
                 float(psnr_metric(jnp.asarray(gt), jnp.asarray(img_pred)))
             )
 
-    window = getattr(args, "eval_window", None) or EVAL_WINDOW
+    window = getattr(args, "eval_window", None)
+    if window is None:  # 0/negative mean serial via max(1, .), not "unset"
+        window = EVAL_WINDOW
     inflight = deque()
     for i in range(len(dataset)):
         inflight.append(submit(i))

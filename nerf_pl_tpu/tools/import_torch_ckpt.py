@@ -231,6 +231,34 @@ def moments_from_torch_opt(
     ``state`` is keyed by position within the concatenated
     ``param_groups[*]['params']`` id list (torch optimizer serialization
     contract); each entry carries ``step``/``exp_avg``/``exp_avg_sq``."""
+    # Validate the optimizer TYPE before touching moments (review round 3):
+    # the reference's radam/ranger states carry Adam-named moments too, so a
+    # key-presence check alone would silently import a ranger run as Adam
+    # and discard its rectification/lookahead trajectory.  torch group keys
+    # identify the source optimizer: Adam = {..., amsgrad}; the reference
+    # RAdam adds 'buffer' (utils/optimizers.py:23), its AdamW adds
+    # 'warmup' (:185), Ranger adds 'alpha'/'k'/'step_counter' (:285), and
+    # SGD has 'momentum'/'nesterov' and no exp_avg at all.
+    g0 = opt_sd["param_groups"][0]
+    for marker, name in (("alpha", "ranger"), ("buffer", "radam"),
+                         ("warmup", "adamw"), ("momentum", "sgd")):
+        if marker in g0:
+            raise ValueError(
+                f"optimizer_states look like the reference's {name!r} "
+                "optimizer — only --optimizer adam states map onto the "
+                "optax chain; re-import without --full_state (weights-only)"
+            )
+    if "amsgrad" not in g0:
+        raise ValueError(
+            "optimizer_states are not a torch Adam state_dict (no 'amsgrad' "
+            "group key) — only --optimizer adam migrates; re-import without "
+            "--full_state (weights-only)"
+        )
+    if g0.get("amsgrad"):
+        raise ValueError(
+            "amsgrad=True Adam states carry max_exp_avg_sq, which optax "
+            "scale_by_adam has no slot for — re-import without --full_state"
+        )
     ids = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
     state = opt_sd["state"]
     # torch state_dict keys may arrive as ints or (through round-trips) strs
@@ -311,6 +339,14 @@ def import_full_checkpoint(
 
     from ..training.checkpoints import save_checkpoint
 
+    if not out_path.endswith(".ckpt"):
+        # the trainer's full-state resume is gated on the .ckpt suffix
+        # (trainer.py::_build_state) — any other name would silently resume
+        # weights-only, discarding the state this import exists to carry
+        raise ValueError(
+            f"--full_state out_path must end in .ckpt (got {out_path!r}); "
+            "the trainer only attempts full-state restore for .ckpt files"
+        )
     try:
         ckpt = torch.load(in_path, map_location="cpu", weights_only=True)
     except Exception:

@@ -67,12 +67,12 @@ from .trainer import NeRFSystem, init_params
 
 
 def _sigma_render_kwargs(
-    cfg: Config, n_importance: int, channel_io: bool = False
+    cfg: Config, n_importance: int, channel_io: bool = True
 ) -> dict:
-    """``channel_io=True`` for the whole-image LIGHT renders: packed ray IO
-    measured +4.7% on the 200² light fwd+bwd (166 vs 174 ms, v5e) — big
-    renders amortize the transposes the 4k-ray camera batch does not
-    (that one measured −2%, docs/results.md round 3)."""
+    """Packed channel-major ray IO is on for every render (camera batches,
+    light caches, whole images): measured +10% train-step / +23%
+    whole-image / +4.7% light fwd+bwd once the transposed backward's
+    identity-size bug was fixed (docs/results.md round 3)."""
     from .trainer import use_fused_for_backend
 
     return dict(
@@ -103,6 +103,25 @@ def _reject_per_host_data(cfg: Config, trainer_name: str) -> None:
             f"--per_host_data is not supported by {trainer_name}; its "
             "whole-image dataset loads fully on every host (justified in "
             "_reject_per_host_data)"
+        )
+
+
+def _reject_global_reshuffle(cfg: Config, trainer_name: str) -> None:
+    """The reference trains the shadow pipelines with ``shuffle=False``
+    (``train_efficient_sm.py:122-127`` — pose-splits must stay long;
+    ``train_shadow_mapping.py`` steps sequential whole images), so
+    DistributedSampler-reshuffle semantics do not apply: the contiguous
+    batch order is a parity property here, and a global permutation would
+    also desynchronize the rays/pixels/pose_idx(/sm) buffers unless all are
+    permuted together.  ``ShadowsSystem`` (the vanilla RGB loop on shadow
+    data) DOES support the flag.  Fail loudly instead of silently ignoring
+    a flag the config documents as an escape hatch."""
+    if cfg.global_reshuffle:
+        raise ValueError(
+            f"--global_reshuffle is not supported by {trainer_name}: the "
+            "reference trains this pipeline with shuffle=False (contiguous "
+            "pose-splits are a parity property; see "
+            "_reject_global_reshuffle)"
         )
 
 
@@ -199,6 +218,7 @@ class _ShadowSystemBase(NeRFSystem):
 
     def _prepare_data(self):
         cfg = self.cfg
+        _reject_global_reshuffle(cfg, type(self).__name__)
         ds_cls = dataset_dict[cfg.dataset_name]
         kw = self._dataset_kwargs()
         # pod-scale host pipeline (VERDICT round-2 next #6): the flagship
@@ -561,6 +581,7 @@ class RGBSMSystem(EfficientSMSystem):
             white_back=self.white_back,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             use_fused=use_fused_for_backend(cfg),
+            fused_channel_io=cfg.fused_channel_io,
         )
         rkw_light = _sigma_render_kwargs(cfg, light_n, channel_io=True)
         fine = cfg.N_importance > 0
@@ -728,6 +749,7 @@ class RGBSMSystem(EfficientSMSystem):
             white_back=self.white_back,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             use_fused=use_fused_for_backend(cfg),
+            fused_channel_io=cfg.fused_channel_io,
         )
         rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
         n_img = len(self.val_dataset)
@@ -1065,6 +1087,7 @@ class ShadowMappingSystem:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         _reject_per_host_data(cfg, type(self).__name__)
+        _reject_global_reshuffle(cfg, type(self).__name__)
         if cfg.compilation_cache and jax.default_backend() == "tpu":
             # standalone trainer (not a NeRFSystem subclass): enable the
             # persistent cache here too — its whole-image step compiles for
@@ -1365,5 +1388,8 @@ class ShadowsSystem(NeRFSystem):
             ]
             rays = np.concatenate([it["rays"] for it in items], 0)
             rgbs = np.concatenate([it["rgbs"] for it in items], 0)
+        # keep the host copies: NeRFSystem.fit's --global_reshuffle re-shards
+        # from them each epoch (the 'shadows' loader has no all_rays)
+        self._host_rays, self._host_rgbs = rays, rgbs
         self.rays_buf = shard_rays(rays, self.mesh)
         self.rgbs_buf = shard_rays(rgbs, self.mesh)

@@ -65,10 +65,11 @@ def render_kwargs_from_cfg(cfg: Config, white_back: bool, train: bool) -> dict:
         white_back=white_back,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         use_fused=use_fused_for_backend(cfg),
-        # measured (docs/results.md): packed ray IO wins 26-28% on the
-        # memory-bound whole-image render path but costs ~2% in the
-        # MXU-bound train step — so only the non-train programs use it
-        fused_channel_io=cfg.fused_channel_io and not train,
+        # packed ray IO wins everywhere (docs/results.md round 3): +23%
+        # whole-image rendering and +10% on the train step (the early −2%
+        # train reading was an artifact of a block×block identity in the
+        # transposed backward, fixed in review)
+        fused_channel_io=cfg.fused_channel_io,
         remat_fine=cfg.remat_fine if train else False,
     )
 
@@ -306,13 +307,16 @@ class NeRFSystem:
         self.white_back = self.train_dataset.white_back
         self.ray_store = None
         if cfg.data_device_resident:
-            # device-resident sharded buffers (fast path)
-            self.rays_buf = shard_rays(
-                self.train_dataset.all_rays, self.mesh, local=per_host
-            )
-            self.rgbs_buf = shard_rays(
-                self.train_dataset.all_rgbs, self.mesh, local=per_host
-            )
+            # device-resident sharded buffers (fast path); host copies are
+            # kept for --global_reshuffle's per-epoch re-shard (ShadowsSystem
+            # overrides _prepare_data and sets its own — its loader has no
+            # all_rays)
+            self._host_rays = self.train_dataset.all_rays
+            self._host_rgbs = self.train_dataset.all_rgbs
+            self.rays_buf = shard_rays(self._host_rays, self.mesh,
+                                       local=per_host)
+            self.rgbs_buf = shard_rays(self._host_rgbs, self.mesh,
+                                       local=per_host)
         else:
             # host streaming through the native C++ ray store
             from ..data.native import RayStore
@@ -397,10 +401,6 @@ class NeRFSystem:
         cfg = self.cfg
         rkw = render_kwargs_from_cfg(cfg, self.white_back, train=True)
         rkw["mode"] = self.mode
-        # train=True above only selects perturb/noise parity with the
-        # reference's validation_step; this IS the whole-image render path,
-        # where packed ray IO wins (see render_kwargs_from_cfg)
-        rkw["fused_channel_io"] = cfg.fused_channel_io
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -478,11 +478,11 @@ class NeRFSystem:
         rng = np.random.RandomState(
             (self.cfg.seed * 1_000_003 + epoch + 1) % (2**32)
         )
-        rays = self.train_dataset.all_rays
+        rays = self._host_rays
         perm = rng.permutation(rays.shape[0])
         self.rays_buf = shard_rays(rays[perm], self.mesh, local=per_host)
         self.rgbs_buf = shard_rays(
-            self.train_dataset.all_rgbs[perm], self.mesh, local=per_host
+            self._host_rgbs[perm], self.mesh, local=per_host
         )
 
     # -- main loop ----------------------------------------------------------

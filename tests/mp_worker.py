@@ -77,7 +77,7 @@ def run_shadow3(work, shadow_scene, pid):
     print(f"[worker {pid}] shadow_mapping done", flush=True)
 
     # flagship per-host loading (VERDICT round-2 next #6): each host reads
-    # only kept-frames[pid::2] (unbalanced 2-vs-1 on the 3-frame scene),
+    # only kept-frames[pid::2] (wrap-padded 2-vs-2 on the 3-frame scene),
     # pose tables full everywhere — identical params must still fall out
     from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
 
@@ -86,8 +86,8 @@ def run_shadow3(work, shadow_scene, pid):
     ph = EfficientSMSystem(cfg)
     n_frames = ph.num_poses  # full pose table despite the local subset
     assert n_frames == 3, n_frames
-    my_frames = len(range(pid, n_frames, 2))
-    assert ph.train_dataset.all_rays.shape[0] == my_frames * 8 * 8
+    # wrap-padded to ceil(3/2)=2 frames on BOTH hosts (see mp core stage)
+    assert ph.train_dataset.all_rays.shape[0] == 2 * 8 * 8
     digests["efficient_sm_per_host"] = digest_of(ph.fit())
     print(f"[worker {pid}] efficient_sm per-host done", flush=True)
 
@@ -172,9 +172,9 @@ def main():
     digest = digest_of(params)
 
     # --- per-host data loading (pod-scale pipeline, SURVEY.md §7) -----------
-    # each process loads only frames[pid::2]; with 3 train frames the
-    # subsets are unbalanced (2 vs 1), exercising the documented global-MIN
-    # rows-per-device truncation of shard_rays(local=True)
+    # each process loads only frames[pid::2]; with 3 train frames the raw
+    # subsets are unbalanced (2 vs 1) and the loader wrap-pads the smaller
+    # host (DistributedSampler semantics) so no frame is truncated away
     ph_cfg = Config(
         root_dir=scene, dataset_name="blender", img_wh=(16, 16),
         N_samples=8, N_importance=8, batch_size=16, num_epochs=1,
@@ -186,23 +186,23 @@ def main():
     ph = NeRFSystem(ph_cfg)
     full = system.train_dataset.all_rays  # the full buffer (first run)
     n_frames = full.shape[0] // (16 * 16)
-    my_frames = len(range(pid, n_frames, 2))
-    assert ph.train_dataset.all_rays.shape[0] == my_frames * 16 * 16
+    # DistributedSampler-style wrap (round 3): every host holds
+    # ceil(n_frames/2) frames — the smaller host repeats its leading frame
+    # so shard_rays(local=True)'s global-MIN truncation drops NOTHING
+    target = -(-n_frames // 2)
+    assert ph.train_dataset.all_rays.shape[0] == target * 16 * 16
     g = np.asarray(
         jax.jit(lambda x: x, out_shardings=NamedSharding(ph.mesh, P()))(
             ph.rays_buf
         )
     )
-    # global rows: 8 * min-over-hosts rows-per-device; every row comes from
-    # the source dataset and none is duplicated
-    per_dev = min(
-        (len(range(p, n_frames, 2)) * 16 * 16) // 4 for p in (0, 1)
-    )
+    per_dev = (target * 16 * 16) // 4
     assert g.shape[0] == 8 * per_dev, (g.shape, per_dev)
     full_set = {r.tobytes() for r in full}
     g_rows = [r.tobytes() for r in g]
-    assert set(g_rows) <= full_set
-    assert len(set(g_rows)) == len(g_rows)
+    # every row comes from the source dataset AND every dataset row is on
+    # device (wrapped frames legitimately appear twice)
+    assert set(g_rows) == full_set
     ph_digest = digest_of(ph.fit())
 
     # --- the flagship shadow trainer, multi-process -------------------------

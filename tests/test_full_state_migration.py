@@ -363,3 +363,54 @@ def test_full_state_cli_round_trip(ray_buffer, tmp_path):
     a = np.asarray(state["opt_state"]["0"]["mu"]["coarse"]["sigma"]["w"])
     b = np.asarray(raw["opt_state"]["0"]["mu"]["coarse"]["sigma"]["w"])
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
+
+
+def test_full_state_rejects_non_adam_and_bad_out_path(ref, tmp_path):
+    """Optimizer-type validation (review round 3): radam/ranger/sgd states
+    must NOT silently import as Adam; --full_state out paths must keep the
+    .ckpt suffix the trainer's resume gate requires."""
+    model = ref.nerf.NeRF(D=2, W=16, in_channels_xyz=63, in_channels_dir=27,
+                          skips=[4])
+
+    def trainer_ckpt(opt):
+        model(torch.randn(2, 90)).sum().backward()
+        opt.step()
+        return {
+            "epoch": 1, "global_step": 2,
+            "state_dict": {f"nerf_coarse.{k}": v
+                           for k, v in model.state_dict().items()},
+            "optimizer_states": [opt.state_dict()],
+            "lr_schedulers": [],
+        }
+
+    # the reference's RAdam ('buffer' group key) — Adam-named moments but a
+    # different update rule; must raise, not silently import
+    path = str(tmp_path / "radam.ckpt")
+    torch.save(trainer_ckpt(ref.optimizers.RAdam(model.parameters(),
+                                                 lr=1e-3)), path)
+    with pytest.raises(ValueError, match="radam"):
+        import_full_checkpoint(path, str(tmp_path / "o1.ckpt"))
+
+    # the reference's Ranger ('alpha'/'k' group keys)
+    path = str(tmp_path / "ranger.ckpt")
+    torch.save(trainer_ckpt(ref.optimizers.Ranger(model.parameters(),
+                                                  lr=1e-3)), path)
+    with pytest.raises(ValueError, match="ranger"):
+        import_full_checkpoint(path, str(tmp_path / "o2.ckpt"))
+
+    # torch SGD (no exp_avg at all) — clear error, not a KeyError
+    path = str(tmp_path / "sgd.ckpt")
+    torch.save(trainer_ckpt(torch.optim.SGD(model.parameters(), lr=0.1,
+                                            momentum=0.9)), path)
+    with pytest.raises(ValueError, match="sgd"):
+        import_full_checkpoint(path, str(tmp_path / "o3.ckpt"))
+
+    # a VALID adam state written to a non-.ckpt path would silently resume
+    # weights-only (trainer.py gates full restore on the suffix) — reject
+    path = str(tmp_path / "adam.ckpt")
+    torch.save(trainer_ckpt(torch.optim.Adam(model.parameters(), lr=1e-3)),
+               path)
+    with pytest.raises(ValueError, match=".ckpt"):
+        import_full_checkpoint(path, str(tmp_path / "resume.msgpack"))
+    # and the .ckpt path imports fine
+    import_full_checkpoint(path, str(tmp_path / "resume.ckpt"))

@@ -172,9 +172,12 @@ def test_llff_frame_shard_partitions_train_set(llff_root):
         for p in (0, 1)
     ]
     n_img = 8 * 6
-    assert sum(p.all_rays.shape[0] for p in parts) == full.all_rays.shape[0]
-    # host p holds train images p::2 — ray blocks match the full buffer's
+    # host p holds train images p::2, wrap-padded to ceil(n/2) frames
+    # (DistributedSampler-style — equal rows per host, nothing truncated)
     full_blocks = full.all_rays.reshape(-1, n_img, 8)
+    n_frames = full_blocks.shape[0]
     for p, part in enumerate(parts):
+        idx = list(range(p, n_frames, 2))
+        idx = idx + idx[: -(-n_frames // 2) - len(idx)]
         got = part.all_rays.reshape(-1, n_img, 8)
-        np.testing.assert_array_equal(got, full_blocks[p::2])
+        np.testing.assert_array_equal(got, full_blocks[idx])

@@ -148,13 +148,17 @@ def test_frame_shard_loaders(shadow_root):
             # pose tables identical to the full load on every shard
             np.testing.assert_array_equal(sh.cam_ms, full.cam_ms)
             np.testing.assert_array_equal(sh.cam_eyes, full.cam_eyes)
-        # shard p holds exactly frames[p::2]'s rays, with global pose_idx
+        # shard p holds frames[p::2] wrap-padded to ceil(n/2) frames
+        # (DistributedSampler-style — equal rows per host, global pose_idx)
         hw = 64
+        target = -(-n_frames // 2)
         for p, sh in enumerate(shards):
             frames = list(range(p, n_frames, 2))
-            assert sh.all_rays.shape[0] == len(frames) * hw
+            frames = frames + frames[: target - len(frames)]
+            assert sh.all_rays.shape[0] == target * hw
             np.testing.assert_array_equal(
-                np.unique(sh.pose_idx), np.asarray(frames, np.int32)
+                np.unique(sh.pose_idx),
+                np.unique(np.asarray(frames, np.int32)),
             )
             np.testing.assert_array_equal(
                 sh.all_rays,
@@ -172,8 +176,10 @@ def test_frame_shard_loaders(shadow_root):
                     np.concatenate([full.all_sm[f * hw:(f + 1) * hw]
                                     for f in frames]),
                 )
-        # union covers every row exactly once
-        assert sum(s.all_rays.shape[0] for s in shards) == full.all_rays.shape[0]
+        # the union of DISTINCT frames covers the dataset
+        assert {f for p in (0, 1) for f in range(p, n_frames, 2)} == set(
+            range(n_frames)
+        )
 
     import pytest as _pytest
 

@@ -230,3 +230,29 @@ def test_sharded_light_render_matches_full():
         np.testing.assert_allclose(
             np.asarray(sharded[k]), np.asarray(full[k]), rtol=5e-3, atol=1e-5
         )
+
+
+def test_global_reshuffle_policy(shadow_root, tmp_path):
+    """--global_reshuffle (review round 3): the shuffle=False-parity shadow
+    trainers reject it loudly; ShadowsSystem (the vanilla RGB loop on
+    shadow data) supports it — including the 'shadows' loader that has no
+    all_rays attribute (host copies kept by its _prepare_data)."""
+    from nerf_pl_tpu.training.shadow_systems import (
+        EfficientSMSystem,
+        ShadowMappingSystem,
+        ShadowsSystem,
+    )
+
+    kw = dict(global_reshuffle=True, num_epochs=1)
+    with pytest.raises(ValueError, match="global_reshuffle"):
+        EfficientSMSystem(_cfg(shadow_root, tmp_path / "gr1", **kw))
+    with pytest.raises(ValueError, match="global_reshuffle"):
+        ShadowMappingSystem(
+            _cfg(shadow_root, tmp_path / "gr2", dataset_name="shadows",
+                 batch_size=1, **kw)
+        )
+    system = ShadowsSystem(
+        _cfg(shadow_root, tmp_path / "gr3", dataset_name="shadows",
+             batch_size=8, chunk=64, **kw)
+    )
+    system.fit()  # engages _reshuffle_buffers from the kept host copies

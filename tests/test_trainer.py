@@ -166,11 +166,21 @@ def test_frame_shard_and_guard_errors(blender_root, tmp_path):
                        frame_shard=(p, 2))
         for p in (0, 1)
     ]
-    assert sum(p.all_rays.shape[0] for p in parts) == full.all_rays.shape[0]
     n = 16 * 16
-    np.testing.assert_array_equal(
-        parts[0].all_rays.reshape(-1, n, 8),
-        full.all_rays.reshape(-1, n, 8)[0::2],
+    full_blocks = full.all_rays.reshape(-1, n, 8)
+    n_frames = full_blocks.shape[0]
+    # DistributedSampler-style wrap: every host holds ceil(n/2) frames
+    # (unbalanced hosts repeat a leading frame), so no host's frames are
+    # dropped by shard_rays(local=True)'s global-MIN truncation
+    for p, part in enumerate(parts):
+        idx = list(range(p, n_frames, 2))
+        idx = idx + idx[: -(-n_frames // 2) - len(idx)]
+        np.testing.assert_array_equal(
+            part.all_rays.reshape(-1, n, 8), full_blocks[idx]
+        )
+    # union still covers every frame exactly
+    assert {f for p in (0, 1) for f in range(p, n_frames, 2)} == set(
+        range(n_frames)
     )
     # 3 train frames over 5 hosts: host 4 gets nothing -> clear error
     with _pytest.raises(ValueError, match="no frames"):
@@ -218,18 +228,19 @@ def test_per_host_data_policy_for_shadow_trainers(shadow_root, tmp_path):
 
 
 def test_fused_channel_io_policy(tmp_path):
-    """Packed ray IO gates on the program type: train programs stay
-    row-major (measured -2%), whole-image/eval programs get packed IO
-    (measured +23%) — docs/results.md round 3."""
+    """Packed ray IO is the production default for EVERY program (train
+    +10%, whole-image +23% measured — docs/results.md round 3); the config
+    flag turns it off everywhere."""
     from nerf_pl_tpu.config import Config
     from nerf_pl_tpu.training.trainer import render_kwargs_from_cfg
 
     cfg = Config()
-    assert cfg.fused_channel_io  # default on (eval path)
+    assert cfg.fused_channel_io  # default on
     assert render_kwargs_from_cfg(cfg, True, train=True)[
-        "fused_channel_io"] is False
+        "fused_channel_io"] is True
     assert render_kwargs_from_cfg(cfg, True, train=False)[
         "fused_channel_io"] is True
     off = Config(fused_channel_io=False)
-    assert render_kwargs_from_cfg(off, True, train=False)[
-        "fused_channel_io"] is False
+    for train in (True, False):
+        assert render_kwargs_from_cfg(off, True, train=train)[
+            "fused_channel_io"] is False
