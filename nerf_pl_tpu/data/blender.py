@@ -99,23 +99,9 @@ class BlenderDataset:
         if self.split == "train":
             frames = self.meta["frames"]
             if self.frame_shard is not None:
-                offset, step = self.frame_shard
-                n_total = len(frames)
-                frames = frames[offset::step]
-                if not frames:
-                    raise ValueError(
-                        f"frame_shard {self.frame_shard}: host {offset} gets "
-                        f"no frames ({n_total} train frames "
-                        f"over {step} hosts) — use fewer hosts or drop "
-                        "--per_host_data"
-                    )
-                # DistributedSampler-style wrap (review round 3): unbalanced
-                # hosts repeat a leading frame so every host contributes
-                # EQUAL rows — shard_rays(local=True) truncates to the
-                # global MIN rows-per-device, which would otherwise
-                # permanently DROP the larger hosts' trailing frames
-                target = -(-n_total // step)
-                frames = frames + frames[: target - len(frames)]
+                from .sharding import wrap_pad_shard
+
+                frames = wrap_pad_shard(frames, self.frame_shard)
             rays, rgbs, poses, paths = [], [], [], []
             for frame in frames:
                 pose = np.array(frame["transform_matrix"], dtype=np.float32)[:3, :4]

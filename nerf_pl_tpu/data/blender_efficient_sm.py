@@ -116,18 +116,9 @@ class BlenderEfficientShadows:
             self.cam_eyes = np.stack(cam_eyes)
             local = list(range(len(kept)))
             if self.frame_shard is not None:
-                offset, step = self.frame_shard
-                local = list(range(offset, len(kept), step))
-                if not local:
-                    raise ValueError(
-                        f"frame_shard {self.frame_shard}: host {offset} gets "
-                        f"no frames out of {len(kept)}"
-                    )
-                # DistributedSampler-style wrap: equalize rows per host so
-                # shard_rays(local=True)'s global-MIN truncation drops
-                # nothing (see data/blender.py)
-                target = -(-len(kept) // step)
-                local = local + local[: target - len(local)]
+                from .sharding import wrap_pad_shard
+
+                local = wrap_pad_shard(local, self.frame_shard)
             rays, rgbs, pose_idx = [], [], []
             for p in local:
                 sm_path = sm_path_for(self.root_dir, kept[p]["file_path"])

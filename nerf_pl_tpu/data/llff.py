@@ -182,19 +182,11 @@ class LLFFDataset:
                 i for i in range(len(self.image_paths)) if i != val_idx
             ]
             if self.frame_shard is not None:
-                offset, step = self.frame_shard
-                n_total = len(train_idx)
-                train_idx = train_idx[offset::step]
-                if not train_idx:
-                    raise ValueError(
-                        f"frame_shard {self.frame_shard}: host {offset} gets "
-                        f"no images — use fewer hosts or drop --per_host_data"
-                    )
-                # DistributedSampler-style wrap: equalize rows per host so
-                # shard_rays(local=True)'s global-MIN truncation drops
-                # nothing (see data/blender.py)
-                target = -(-n_total // step)
-                train_idx = train_idx + train_idx[: target - len(train_idx)]
+                from .sharding import wrap_pad_shard
+
+                train_idx = wrap_pad_shard(
+                    train_idx, self.frame_shard, what="images"
+                )
             rays, rgbs = [], []
             for i in train_idx:
                 rgbs.append(_load_rgb(self.image_paths[i], self.img_wh))

@@ -1,0 +1,28 @@
+"""Per-host frame-shard selection shared by every loader that supports
+``--per_host_data`` (blender, llff, efficient_sm, rgb_sm)."""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+
+def wrap_pad_shard(
+    items: Sequence, frame_shard: Tuple[int, int], what: str = "frames"
+) -> List:
+    """``items[offset::step]``, wrap-padded to ``ceil(len(items)/step)``.
+
+    DistributedSampler-style semantics: unbalanced hosts REPEAT their
+    leading items so every host contributes EQUAL rows —
+    ``shard_rays(local=True)`` truncates to the global MIN rows-per-device,
+    which would otherwise permanently DROP the larger hosts' trailing
+    frames (review round 3).  Raises on an empty shard (more hosts than
+    items)."""
+    offset, step = frame_shard
+    local = list(items[offset::step])
+    if not local:
+        raise ValueError(
+            f"frame_shard {frame_shard}: host {offset} gets no {what} "
+            f"({len(items)} over {step} hosts) — use fewer hosts or drop "
+            "--per_host_data"
+        )
+    target = -(-len(items) // step)
+    return local + local[: target - len(local)]

@@ -996,6 +996,9 @@ def _t8(a):
     bf16x3 splitting is lossless against power-of-two operands, so this is
     a bit-exact transpose on the MXU — no Mosaic relayout).  The identity
     always lives on the NARROW (8-wide) dim."""
+    assert a.shape[1] <= 8, (
+        f"_t8 eye would be {a.shape[1]}x{a.shape[1]} — use _t8_back for "
+        "narrow-FIRST-dim blocks (the round-3 -2%-train artifact)")
     return jax.lax.dot_general(
         _eye8(a.shape[1]), a, (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,

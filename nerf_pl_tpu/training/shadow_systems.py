@@ -66,9 +66,7 @@ from .metrics import psnr as psnr_metric
 from .trainer import NeRFSystem, init_params
 
 
-def _sigma_render_kwargs(
-    cfg: Config, n_importance: int, channel_io: bool = True
-) -> dict:
+def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
     """Packed channel-major ray IO is on for every render (camera batches,
     light caches, whole images): measured +10% train-step / +23%
     whole-image / +4.7% light fwd+bwd once the transposed backward's
@@ -84,7 +82,7 @@ def _sigma_render_kwargs(
         mode="sigma",
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         use_fused=use_fused_for_backend(cfg),
-        fused_channel_io=channel_io and cfg.fused_channel_io,
+        fused_channel_io=cfg.fused_channel_io,
     )
 
 
@@ -313,7 +311,7 @@ class EfficientSMSystem(_ShadowSystemBase):
         optimizer = self.optimizer
         B = cfg.batch_size
         rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance)
-        rkw_light = _sigma_render_kwargs(cfg, light_n, channel_io=True)
+        rkw_light = _sigma_render_kwargs(cfg, light_n)
         fine = cfg.N_importance > 0
         k_update = max(1, cfg.sample_light_depth_every)
         grad_on_light = cfg.grad_on_light
@@ -504,7 +502,7 @@ class EfficientSMSystem(_ShadowSystemBase):
     # -- validation: full-image camera + light render then compositing ------
     def validation(self, epoch: int, max_images: Optional[int] = None):
         cfg = self.cfg
-        rkw = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -583,7 +581,7 @@ class RGBSMSystem(EfficientSMSystem):
             use_fused=use_fused_for_backend(cfg),
             fused_channel_io=cfg.fused_channel_io,
         )
-        rkw_light = _sigma_render_kwargs(cfg, light_n, channel_io=True)
+        rkw_light = _sigma_render_kwargs(cfg, light_n)
         fine = cfg.N_importance > 0
         k_update = max(1, cfg.sample_light_depth_every)
         grad_on_light = cfg.grad_on_light
@@ -751,7 +749,7 @@ class RGBSMSystem(EfficientSMSystem):
             use_fused=use_fused_for_backend(cfg),
             fused_channel_io=cfg.fused_channel_io,
         )
-        rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
+        rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -1006,8 +1004,8 @@ class LightSamplerSystem(_ShadowSystemBase):
         w, h = cfg.img_wh
         fine = cfg.N_importance > 0
         light_n = max(cfg.Light_N_importance, 0)
-        rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
-        rkw_light = _sigma_render_kwargs(cfg, light_n, channel_io=True)
+        rkw_cam = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw_light = _sigma_render_kwargs(cfg, light_n)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -1241,7 +1239,7 @@ class ShadowMappingSystem:
         (eval batch size is always 1, ``:167``), log val loss/PSNR and dump
         gt/rgb/depth PNGs for the first frame."""
         cfg = self.cfg
-        rkw = _sigma_render_kwargs(cfg, cfg.N_importance, channel_io=True)
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
         fine = cfg.N_importance > 0
         n_img = len(self.val_dataset)
         if max_images is not None:
@@ -1388,8 +1386,11 @@ class ShadowsSystem(NeRFSystem):
             ]
             rays = np.concatenate([it["rays"] for it in items], 0)
             rgbs = np.concatenate([it["rgbs"] for it in items], 0)
-        # keep the host copies: NeRFSystem.fit's --global_reshuffle re-shards
-        # from them each epoch (the 'shadows' loader has no all_rays)
-        self._host_rays, self._host_rgbs = rays, rgbs
+        # keep the host copies only when --global_reshuffle will re-shard
+        # from them (the per-image branch's buffers are FRESH concatenations
+        # — retaining them unconditionally would pin GBs at production
+        # scale; with all_rays they're references the dataset holds anyway)
+        if cfg.global_reshuffle:
+            self._host_rays, self._host_rgbs = rays, rgbs
         self.rays_buf = shard_rays(rays, self.mesh)
         self.rgbs_buf = shard_rays(rgbs, self.mesh)

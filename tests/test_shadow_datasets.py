@@ -176,10 +176,9 @@ def test_frame_shard_loaders(shadow_root):
                     np.concatenate([full.all_sm[f * hw:(f + 1) * hw]
                                     for f in frames]),
                 )
-        # the union of DISTINCT frames covers the dataset
-        assert {f for p in (0, 1) for f in range(p, n_frames, 2)} == set(
-            range(n_frames)
-        )
+        # the union of the shards' ACTUAL pose indices covers the dataset
+        assert set(np.concatenate([s.pose_idx for s in shards]).tolist()) \
+            == set(range(n_frames))
 
     import pytest as _pytest
 

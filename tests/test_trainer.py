@@ -178,10 +178,11 @@ def test_frame_shard_and_guard_errors(blender_root, tmp_path):
         np.testing.assert_array_equal(
             part.all_rays.reshape(-1, n, 8), full_blocks[idx]
         )
-    # union still covers every frame exactly
-    assert {f for p in (0, 1) for f in range(p, n_frames, 2)} == set(
-        range(n_frames)
-    )
+    # the union of the shards' ACTUAL ray rows covers the full buffer
+    shard_rows = {
+        r.tobytes() for part in parts for r in part.all_rays
+    }
+    assert shard_rows == {r.tobytes() for r in full.all_rays}
     # 3 train frames over 5 hosts: host 4 gets nothing -> clear error
     with _pytest.raises(ValueError, match="no frames"):
         BlenderDataset(str(blender_root), "train", img_wh=(16, 16),
