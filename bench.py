@@ -95,12 +95,14 @@ def main():
     # one config keeps total driver time bounded (each compile is minutes on
     # remote-tunneled backends); f32 fallback only if bf16 compilation fails
     best = 0.0
+    best_dtype = None
     for dtype in (jnp.bfloat16, jnp.float32):
         try:
             # 50 iters ≈ 2 s timed at current speed — long enough that the
             # single dispatch's ~80 ms tunnel overhead stops shaving ~2%
             # off the steady-state number the real trainer sustains
             best = bench(batch=4096, iters=50, compute_dtype=dtype)
+            best_dtype = dtype.__name__
             break
         except Exception as e:  # noqa: BLE001 — report what we can
             # diagnostics go to stderr: stdout is contractually ONE json line
@@ -111,6 +113,10 @@ def main():
             {
                 "metric": "train_rays_per_s_per_chip",
                 "value": round(best, 1),
+                # bfloat16 is the production dtype — float32 here means the
+                # bf16 program FAILED to compile and the fallback ran (a
+                # silent ~10% regression marker, round-3 lesson)
+                "dtype": best_dtype,
                 "unit": "rays/s (fwd+bwd+adam, 64c+192f samples)",
                 "vs_baseline": round(best / BASELINE_RAYS_PER_S, 2),
             }

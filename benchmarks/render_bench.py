@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=32 * 1024)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--channel_io", type=lambda v: v.lower() == "true",
-                    default=False,
+                    default=True,  # the production default; false = A/B
                     help="channel-major (8, P) ray IO at the fused-"
                          "kernel boundary (ops/fused_mlp.py)")
     args = ap.parse_args()

@@ -26,3 +26,20 @@ def wrap_pad_shard(
         )
     target = -(-len(items) // step)
     return local + local[: target - len(local)]
+
+
+def equalize_rows(buffers, n_local: int, target: int):
+    """Wrap-pad row-aligned host buffers to ``target`` rows.
+
+    Content-dependent per-ray filters (e.g. efficient_sm's ``white_pix``)
+    keep DIFFERENT row counts per host even after wrap-padded frame shards;
+    ``shard_rays(local=True)`` would then truncate every host to the global
+    MIN and permanently drop the larger hosts' trailing rays (review round
+    3).  Each host wrap-repeats its own rows to the global max instead —
+    DistributedSampler pad semantics, slight oversampling, zero loss."""
+    if target <= n_local:
+        return list(buffers)
+    import numpy as np
+
+    idx = np.arange(target) % n_local
+    return [b[idx] for b in buffers]

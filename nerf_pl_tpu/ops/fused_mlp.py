@@ -11,10 +11,11 @@ HBM traffic per point drops to one narrow input read and one narrow
 output write (+ the weight set, resident across grid steps).  NOTE the
 (P, 8) ray-IO arrays are lane-padded to 128 by TPU tiled layouts (16x
 memory); the channel-major ``fused_nerf_apply_raw_t`` variant below
-eliminates that padding entirely ((8, P) arrays tile exactly) — +26-28%
-whole-image rendering and no more 32768-ray chunk-compile cap
-(docs/results.md round 3); the row-major kernels stay the train-step
-path (MXU-bound there, packed IO measured -2%).
+eliminates that padding entirely ((8, P) arrays tile exactly) — +23%
+whole-image rendering, +10% on the train step, and no more 32768-ray
+chunk-compile cap (docs/results.md round 3).  Packed channel IO is the
+PRODUCTION DEFAULT for every program; the row-major kernels remain as
+the parity oracle and the --fused_channel_io false fallback.
 
 Design:
   * Points are blocked on the grid dimension; all weights use constant
@@ -191,23 +192,26 @@ def _fwd_kernel(*refs_list, sigma_only):
         out_ref[:] = out
 
 
-def _bwd_kernel(*refs_list, sigma_only, n_blocks):
-    x_ref, g_ref = refs_list[0], refs_list[1]
-    refs = dict(zip(_PKEYS, refs_list[2 : 2 + len(_PKEYS)]))
-    outs = refs_list[2 + len(_PKEYS):]
-    dx_ref = outs[0]
-    grefs = dict(zip(_PKEYS, outs[1:]))
-    cdt = refs["w0"].dtype
-
+def _zero_grefs(grefs):
     @pl.when(pl.program_id(0) == 0)
     def _():
         for k in _PKEYS:
             grefs[k][:] = jnp.zeros_like(grefs[k])
 
-    x = x_ref[:].astype(jnp.float32)
-    g_out = g_ref[:].astype(jnp.float32)
-    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
-    h_last = acts[-1]
+
+def _bwd_core(refs, grefs, x, g_out, act, extras, sigma_only, want_dx):
+    """Shared dgrad/wgrad sweep for EVERY backward kernel (padded/raw/
+    transposed x remat/stash — review round 3: five verbatim copies of this
+    math let the (block x block) identity bug hide in one of them).
+
+    ``act(i)`` returns the i-th trunk activation (i=0 is the embedded tile):
+    an f32 recompute or a compute-dtype stash slice — relu masks are
+    sign-exact and ``wgrad`` casts to the compute dtype either way, so the
+    two sources are bit-equivalent (asserted by the stash-vs-remat tests).
+    ``extras()`` returns ``(din, d, rgb)`` for rgb mode (``din`` f32).
+    Returns the f32 input cotangent when ``want_dx`` (the padded pre-embedded
+    kernel) else ``None`` (raw kernels: rays are data, dx is discarded)."""
+    cdt = refs["w0"].dtype
 
     def wgrad(a, g):  # (BP, M)^T @ (BP, N) -> (M, N) contraction over rows
         return jax.lax.dot_general(
@@ -215,6 +219,7 @@ def _bwd_kernel(*refs_list, sigma_only, n_blocks):
             preferred_element_type=jnp.float32,
         )
 
+    h_last = act(D)
     if sigma_only:
         # pad the OUT_COLS cotangent back to the CIN-wide head (col 0 live)
         g_sigma = jnp.concatenate(
@@ -224,27 +229,29 @@ def _bwd_kernel(*refs_list, sigma_only, n_blocks):
         grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
         grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
         g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
-        g_x_extra = jnp.zeros_like(x)
+        g_x = jnp.zeros_like(x) if want_dx else None
     else:
-        fin, din, d, rgb = extras
+        din, d, rgb = extras()
         g_rgball = jnp.concatenate(
             [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
             axis=1,
         )
-        g_sigma1 = g_out[:, 3:4]
         g_sigma = jnp.concatenate(
-            [g_sigma1, jnp.zeros((x.shape[0], CIN - 1), jnp.float32)], axis=1
+            [g_out[:, 3:4], jnp.zeros((x.shape[0], CIN - 1), jnp.float32)],
+            axis=1,
         )
         g_rgbpre = g_rgball * rgb * (1.0 - rgb)
         grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
         grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
         g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
-        g_dpre = g_d * (d > 0)
+        # compare in f32: Mosaic cannot lower bf16 arith.cmpf on real TPU
+        # (interpret mode accepts it — hardware-only failure; the cast is a
+        # no-op for recompute activations, which are already f32)
+        g_dpre = g_d * (d.astype(jnp.float32) > 0)
         grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
         grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
         g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)  # (BP, 384)
         g_fin = g_din[:, :W]
-        g_x_extra = g_din[:, W:]
         grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
         grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
         grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
@@ -252,24 +259,77 @@ def _bwd_kernel(*refs_list, sigma_only, n_blocks):
         g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
             g_sigma.astype(cdt), refs["wsig"][:].T
         )
+        g_x = g_din[:, W:] if want_dx else None
 
-    g_x_total = g_x_extra
     for i in range(D - 1, -1, -1):
-        h_out = acts[i + 1]
-        g_pre = g_h * (h_out > 0)
-        a_in = acts[i]
+        h_out = act(i + 1)
+        # f32 compare: see the rgb-head note (Mosaic bf16 cmpf)
+        g_pre = g_h * (h_out.astype(jnp.float32) > 0)
+        a_in = act(i)
         if i == SKIP:
-            a_in = jnp.concatenate([x, a_in], axis=1)
+            a_in = jnp.concatenate([x, a_in.astype(jnp.float32)], axis=1)
         grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
         grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
         g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
         if i == SKIP:
-            g_x_total = g_x_total + g_in[:, :CIN]
+            if want_dx:
+                g_x = g_x + g_in[:, :CIN]
             g_h = g_in[:, CIN:]
         else:
             g_h = g_in
-    g_x_total = g_x_total + g_h  # acts[0] == x feeds layer 0
-    dx_ref[:] = g_x_total
+    if want_dx:
+        g_x = g_x + g_h  # acts[0] == x feeds layer 0
+    return g_x
+
+
+def _acts_accessors(acts, extras_tuple):
+    """act()/extras() closures over a recompute (``_fwd_body`` output)."""
+    def act(i):
+        return acts[i]
+
+    def extras():
+        fin, din, d, rgb = extras_tuple
+        return din, d, rgb
+
+    return act, extras
+
+
+def _stash_accessors(x, s_ref, refs):
+    """act()/extras() closures over the HBM activation stash (see the stash
+    layout note in the activation-stash section)."""
+    cdt = refs["w0"].dtype
+
+    def act(i):
+        if i == 0:
+            return x
+        return s_ref[:, (i - 1) * W : i * W]
+
+    def extras():
+        fin = s_ref[:, _STASH_HC : _STASH_HC + W]
+        d = s_ref[:, _STASH_HC + W : _STASH_RGB]
+        # rgb recompute: same matmul (compute-dtype d x wrgb) the fwd ran
+        rgb = jax.nn.sigmoid(
+            _mm(d.astype(cdt), refs["wrgb"][:]) + refs["brgb"][:]
+        )
+        din = jnp.concatenate([fin[:].astype(jnp.float32), x], axis=1)
+        return din, d, rgb
+
+    return act, extras
+
+
+def _bwd_kernel(*refs_list, sigma_only, n_blocks):
+    x_ref, g_ref = refs_list[0], refs_list[1]
+    refs = dict(zip(_PKEYS, refs_list[2 : 2 + len(_PKEYS)]))
+    outs = refs_list[2 + len(_PKEYS):]
+    dx_ref = outs[0]
+    grefs = dict(zip(_PKEYS, outs[1:]))
+    _zero_grefs(grefs)
+    x = x_ref[:].astype(jnp.float32)
+    g_out = g_ref[:].astype(jnp.float32)
+    acts, sigma, extras_tuple = _fwd_body(refs, x, sigma_only)
+    act, extras = _acts_accessors(acts, extras_tuple)
+    dx_ref[:] = _bwd_core(refs, grefs, x, g_out, act, extras, sigma_only,
+                          want_dx=True)
 
 
 def _specs_for_params(packed):
@@ -537,81 +597,24 @@ def _fwd_kernel_raw(*refs_list, sigma_only):
 
 
 def _bwd_kernel_raw(*refs_list, sigma_only, n_blocks):
-    # identical to _bwd_kernel except the embedding recompute and a zero dx
-    # (rays/embeddings receive no gradient in training; the renderer
-    # discards the input cotangent)
+    # raw-input remat variant: in-kernel embed recompute, zero dx (rays are
+    # data — the renderer discards the input cotangent)
     x_ref, g_ref = refs_list[0], refs_list[1]
     refs = dict(zip(_PKEYS, refs_list[2 : 2 + len(_PKEYS)]))
     outs = refs_list[2 + len(_PKEYS):]
     dx_ref = outs[0]
     grefs = dict(zip(_PKEYS, outs[1:]))
-    cdt = refs["w0"].dtype
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for k in _PKEYS:
-            grefs[k][:] = jnp.zeros_like(grefs[k])
-
+    _zero_grefs(grefs)
     x = _embed_tile(x_ref[:].astype(jnp.float32))
     g_out = g_ref[:].astype(jnp.float32)
-    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
-    h_last = acts[-1]
-
-    def wgrad(a, g):
-        return jax.lax.dot_general(
-            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if sigma_only:
-        g_sigma = jnp.concatenate(
-            [g_out, jnp.zeros((x.shape[0], CIN - OUT_COLS), jnp.float32)],
-            axis=1,
-        )
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
-    else:
-        fin, din, d, rgb = extras
-        g_rgball = jnp.concatenate(
-            [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
-            axis=1,
-        )
-        g_sigma = jnp.concatenate(
-            [g_out[:, 3:4], jnp.zeros((x.shape[0], CIN - 1), jnp.float32)],
-            axis=1,
-        )
-        g_rgbpre = g_rgball * rgb * (1.0 - rgb)
-        grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
-        grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
-        g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
-        g_dpre = g_d * (d > 0)
-        grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
-        grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
-        g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)
-        g_fin = g_din[:, :W]
-        grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
-        grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
-            g_sigma.astype(cdt), refs["wsig"][:].T
-        )
-
-    for i in range(D - 1, -1, -1):
-        h_out = acts[i + 1]
-        g_pre = g_h * (h_out > 0)
-        a_in = acts[i]
-        if i == SKIP:
-            a_in = jnp.concatenate([x, a_in], axis=1)
-        grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
-        grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
-        g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
-        g_h = g_in[:, CIN:] if i == SKIP else g_in
+    acts, sigma, extras_tuple = _fwd_body(refs, x, sigma_only)
+    act, extras = _acts_accessors(acts, extras_tuple)
+    _bwd_core(refs, grefs, x, g_out, act, extras, sigma_only, want_dx=False)
     dx_ref[:] = jnp.zeros_like(dx_ref)
 
 
 RAW_COLS = 8
+
 
 # ---------------------------------------------------------------------------
 # Activation-stash backward ("checkpoint to HBM" instead of remat).
@@ -666,80 +669,11 @@ def _bwd_kernel_raw_stash(*refs_list, sigma_only):
     outs = refs_list[3 + len(_PKEYS):]
     dx_ref = outs[0]
     grefs = dict(zip(_PKEYS, outs[1:]))
-    cdt = refs["w0"].dtype
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for k in _PKEYS:
-            grefs[k][:] = jnp.zeros_like(grefs[k])
-
+    _zero_grefs(grefs)
     x = _embed_tile(x_ref[:].astype(jnp.float32))
     g_out = g_ref[:].astype(jnp.float32)
-
-    def act(i):  # acts[i] of the remat kernel; i=0 is the embedded input
-        if i == 0:
-            return x
-        return s_ref[:, (i - 1) * W : i * W]
-
-    h_last = act(D)
-
-    def wgrad(a, g):
-        return jax.lax.dot_general(
-            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if sigma_only:
-        g_sigma = jnp.concatenate(
-            [g_out, jnp.zeros((x.shape[0], CIN - OUT_COLS), jnp.float32)],
-            axis=1,
-        )
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
-    else:
-        fin = s_ref[:, _STASH_HC : _STASH_HC + W]
-        d = s_ref[:, _STASH_HC + W : _STASH_RGB]
-        # rgb recompute: same matmul (bf16 d x wrgb) the fwd ran
-        rgb = jax.nn.sigmoid(
-            _mm(d.astype(cdt), refs["wrgb"][:]) + refs["brgb"][:]
-        )
-        g_rgball = jnp.concatenate(
-            [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
-            axis=1,
-        )
-        g_sigma = jnp.concatenate(
-            [g_out[:, 3:4], jnp.zeros((x.shape[0], CIN - 1), jnp.float32)],
-            axis=1,
-        )
-        g_rgbpre = g_rgball * rgb * (1.0 - rgb)
-        grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
-        grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
-        g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
-        g_dpre = g_d * (d[:].astype(jnp.float32) > 0)
-        din = jnp.concatenate([fin[:].astype(jnp.float32), x], axis=1)
-        grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
-        grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
-        g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)
-        g_fin = g_din[:, :W]
-        grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
-        grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
-            g_sigma.astype(cdt), refs["wsig"][:].T
-        )
-
-    for i in range(D - 1, -1, -1):
-        h_out = act(i + 1)
-        g_pre = g_h * (h_out[:].astype(jnp.float32) > 0)
-        a_in = act(i)
-        if i == SKIP:
-            a_in = jnp.concatenate([x, a_in[:].astype(jnp.float32)], axis=1)
-        grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
-        grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
-        g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
-        g_h = g_in[:, CIN:] if i == SKIP else g_in
+    act, extras = _stash_accessors(x, s_ref, refs)
+    _bwd_core(refs, grefs, x, g_out, act, extras, sigma_only, want_dx=False)
     dx_ref[:] = jnp.zeros_like(dx_ref)
 
 
@@ -1055,158 +989,33 @@ def _fwd_kernel_raw_stash_t(*refs_list, sigma_only):
 
 
 def _bwd_kernel_raw_stash_t(*refs_list, sigma_only):
-    # identical to _bwd_kernel_raw_stash modulo the transposed x/g/dx blocks
+    # transposed-IO stash variant: (8, block) x/g/dx boundary blocks
     x_ref, g_ref, s_ref = refs_list[0], refs_list[1], refs_list[2]
     refs = dict(zip(_PKEYS, refs_list[3 : 3 + len(_PKEYS)]))
     outs = refs_list[3 + len(_PKEYS):]
     dx_ref = outs[0]
     grefs = dict(zip(_PKEYS, outs[1:]))
-    cdt = refs["w0"].dtype
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for k in _PKEYS:
-            grefs[k][:] = jnp.zeros_like(grefs[k])
-
+    _zero_grefs(grefs)
     x = _embed_tile_t(x_ref[:].astype(jnp.float32))
     g_out = _t8_back(g_ref[:].astype(jnp.float32))
-
-    def act(i):
-        if i == 0:
-            return x
-        return s_ref[:, (i - 1) * W : i * W]
-
-    h_last = act(D)
-
-    def wgrad(a, g):
-        return jax.lax.dot_general(
-            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if sigma_only:
-        g_sigma = jnp.concatenate(
-            [g_out, jnp.zeros((x.shape[0], CIN - OUT_COLS), jnp.float32)],
-            axis=1,
-        )
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
-    else:
-        fin = s_ref[:, _STASH_HC : _STASH_HC + W]
-        d = s_ref[:, _STASH_HC + W : _STASH_RGB]
-        rgb = jax.nn.sigmoid(
-            _mm(d.astype(cdt), refs["wrgb"][:]) + refs["brgb"][:]
-        )
-        g_rgball = jnp.concatenate(
-            [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
-            axis=1,
-        )
-        g_sigma = jnp.concatenate(
-            [g_out[:, 3:4], jnp.zeros((x.shape[0], CIN - 1), jnp.float32)],
-            axis=1,
-        )
-        g_rgbpre = g_rgball * rgb * (1.0 - rgb)
-        grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
-        grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
-        g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
-        g_dpre = g_d * (d[:].astype(jnp.float32) > 0)
-        din = jnp.concatenate([fin[:].astype(jnp.float32), x], axis=1)
-        grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
-        grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
-        g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)
-        g_fin = g_din[:, :W]
-        grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
-        grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
-            g_sigma.astype(cdt), refs["wsig"][:].T
-        )
-
-    for i in range(D - 1, -1, -1):
-        h_out = act(i + 1)
-        g_pre = g_h * (h_out[:].astype(jnp.float32) > 0)
-        a_in = act(i)
-        if i == SKIP:
-            a_in = jnp.concatenate([x, a_in[:].astype(jnp.float32)], axis=1)
-        grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
-        grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
-        g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
-        g_h = g_in[:, CIN:] if i == SKIP else g_in
+    act, extras = _stash_accessors(x, s_ref, refs)
+    _bwd_core(refs, grefs, x, g_out, act, extras, sigma_only, want_dx=False)
     dx_ref[:] = jnp.zeros_like(dx_ref)
 
 
 def _bwd_kernel_raw_t(*refs_list, sigma_only):
-    # remat variant: recompute the forward in-VMEM, transposed x/g/dx blocks
+    # transposed-IO remat variant
     x_ref, g_ref = refs_list[0], refs_list[1]
     refs = dict(zip(_PKEYS, refs_list[2 : 2 + len(_PKEYS)]))
     outs = refs_list[2 + len(_PKEYS):]
     dx_ref = outs[0]
     grefs = dict(zip(_PKEYS, outs[1:]))
-    cdt = refs["w0"].dtype
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for k in _PKEYS:
-            grefs[k][:] = jnp.zeros_like(grefs[k])
-
+    _zero_grefs(grefs)
     x = _embed_tile_t(x_ref[:].astype(jnp.float32))
     g_out = _t8_back(g_ref[:].astype(jnp.float32))
-    acts, sigma, extras = _fwd_body(refs, x, sigma_only)
-    h_last = acts[-1]
-
-    def wgrad(a, g):
-        return jax.lax.dot_general(
-            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if sigma_only:
-        g_sigma = jnp.concatenate(
-            [g_out, jnp.zeros((x.shape[0], CIN - OUT_COLS), jnp.float32)],
-            axis=1,
-        )
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_sigma.astype(cdt), refs["wsig"][:].T)
-    else:
-        fin, din, d, rgb = extras
-        g_rgball = jnp.concatenate(
-            [g_out[:, :3], jnp.zeros((x.shape[0], CIN - 3), jnp.float32)],
-            axis=1,
-        )
-        g_sigma = jnp.concatenate(
-            [g_out[:, 3:4], jnp.zeros((x.shape[0], CIN - 1), jnp.float32)],
-            axis=1,
-        )
-        g_rgbpre = g_rgball * rgb * (1.0 - rgb)
-        grefs["wrgb"][:] += wgrad(d, g_rgbpre).astype(grefs["wrgb"].dtype)
-        grefs["brgb"][:] += jnp.sum(g_rgbpre, axis=0, keepdims=True)
-        g_d = _mm(g_rgbpre.astype(cdt), refs["wrgb"][:].T)
-        g_dpre = g_d * (d > 0)
-        grefs["wdir"][:] += wgrad(din, g_dpre).astype(grefs["wdir"].dtype)
-        grefs["bdir"][:] += jnp.sum(g_dpre, axis=0, keepdims=True)
-        g_din = _mm(g_dpre.astype(cdt), refs["wdir"][:].T)
-        g_fin = g_din[:, :W]
-        grefs["wfin"][:] += wgrad(h_last, g_fin).astype(grefs["wfin"].dtype)
-        grefs["bfin"][:] += jnp.sum(g_fin, axis=0, keepdims=True)
-        grefs["wsig"][:] += wgrad(h_last, g_sigma).astype(grefs["wsig"].dtype)
-        grefs["bsig"][:] += jnp.sum(g_sigma, axis=0, keepdims=True)
-        g_h = _mm(g_fin.astype(cdt), refs["wfin"][:].T) + _mm(
-            g_sigma.astype(cdt), refs["wsig"][:].T
-        )
-
-    for i in range(D - 1, -1, -1):
-        h_out = acts[i + 1]
-        g_pre = g_h * (h_out > 0)
-        a_in = acts[i]
-        if i == SKIP:
-            a_in = jnp.concatenate([x, a_in], axis=1)
-        grefs[f"w{i}"][:] += wgrad(a_in, g_pre).astype(grefs[f"w{i}"].dtype)
-        grefs[f"b{i}"][:] += jnp.sum(g_pre, axis=0, keepdims=True)
-        g_in = _mm(g_pre.astype(cdt), refs[f"w{i}"][:].T)
-        g_h = g_in[:, CIN:] if i == SKIP else g_in
+    acts, sigma, extras_tuple = _fwd_body(refs, x, sigma_only)
+    act, extras = _acts_accessors(acts, extras_tuple)
+    _bwd_core(refs, grefs, x, g_out, act, extras, sigma_only, want_dx=False)
     dx_ref[:] = jnp.zeros_like(dx_ref)
 
 

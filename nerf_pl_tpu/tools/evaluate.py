@@ -54,6 +54,11 @@ def get_opts(argv=None):
     parser.add_argument("--blender_far", type=float, default=6.0)
     parser.add_argument("--white_back", type=lambda s: s.lower() == "true",
                         default=None)
+    parser.add_argument("--fused_channel_io",
+                        type=lambda v: v.lower() == "true", default=True,
+                        help="packed channel-major ray IO at the fused-"
+                             "kernel boundary (production default; false "
+                             "falls back to the row-major kernels)")
     parser.add_argument("--eval_window", type=int, default=None,
                         help="frames kept in flight by the pipelined eval "
                              "loop (default 3; 1 = fully serial)")
@@ -113,6 +118,7 @@ def run(args) -> Optional[float]:
         white_back=dataset.white_back,
         test_time=True,
         use_fused=jax.default_backend() == "tpu",
+        fused_channel_io=getattr(args, "fused_channel_io", True),
     )
     # pipelined frame loop: renders dispatch asynchronously, so keeping a
     # small in-flight window overlaps frame i's device render with frame

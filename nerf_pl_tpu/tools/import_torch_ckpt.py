@@ -17,6 +17,7 @@ state.
 """
 from __future__ import annotations
 
+import pickle
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -107,7 +108,10 @@ def import_torch_checkpoint(
     # weights_only=False executes arbitrary code from the file
     try:
         ckpt = torch.load(in_path, map_location="cpu", weights_only=True)
-    except Exception:
+    # narrow catch (review round 3): only the weights-only REJECTION maps to
+    # --allow_pickle; missing/corrupt files must surface as themselves, not
+    # as "rerun with --allow_pickle"
+    except (pickle.UnpicklingError, RuntimeError):
         if not allow_pickle:
             raise RuntimeError(
                 f"{in_path} needs full (unsafe) unpickling — rerun with "
@@ -349,7 +353,10 @@ def import_full_checkpoint(
         )
     try:
         ckpt = torch.load(in_path, map_location="cpu", weights_only=True)
-    except Exception:
+    # narrow catch (review round 3): only the weights-only REJECTION maps to
+    # --allow_pickle; missing/corrupt files must surface as themselves, not
+    # as "rerun with --allow_pickle"
+    except (pickle.UnpicklingError, RuntimeError):
         if not allow_pickle:
             raise RuntimeError(
                 f"{in_path} needs full (unsafe) unpickling — rerun with "

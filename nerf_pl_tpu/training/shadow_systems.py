@@ -241,12 +241,31 @@ class _ShadowSystemBase(NeRFSystem):
         self.val_dataset = ds_cls(split="val", **kw)
         self.white_back = self.train_dataset.white_back
         ds = self.train_dataset
-        self.rays_buf = shard_rays(ds.all_rays, self.mesh, local=per_host)
-        self.rgbs_buf = shard_rays(ds.all_rgbs, self.mesh, local=per_host)
-        self.pixels_buf = shard_rays(ds.all_pixels, self.mesh, local=per_host)
-        self.pose_idx_buf = shard_rays(
-            ds.pose_idx.astype(np.int32)[:, None], self.mesh, local=per_host
-        )
+        bufs = [ds.all_rays, ds.all_rgbs, ds.all_pixels,
+                ds.pose_idx.astype(np.int32)[:, None]]
+        if hasattr(ds, "all_sm"):
+            bufs.append(ds.all_sm)
+        if per_host:
+            # content-dependent per-ray filters (white_pix) keep different
+            # row counts per host even after wrap-padded frame shards —
+            # equalize to the global MAX so shard_rays(local=True)'s
+            # global-MIN truncation drops nothing (review round 3)
+            from jax.experimental import multihost_utils
+
+            from ..data.sharding import equalize_rows
+
+            n_local = bufs[0].shape[0]
+            all_rows = np.asarray(
+                multihost_utils.process_allgather(
+                    jnp.asarray([n_local], jnp.int32)
+                )
+            ).reshape(-1)
+            bufs = equalize_rows(bufs, n_local, int(all_rows.max()))
+        self._train_bufs = bufs  # subclasses (rgb_sm) read all_sm from here
+        self.rays_buf = shard_rays(bufs[0], self.mesh, local=per_host)
+        self.rgbs_buf = shard_rays(bufs[1], self.mesh, local=per_host)
+        self.pixels_buf = shard_rays(bufs[2], self.mesh, local=per_host)
+        self.pose_idx_buf = shard_rays(bufs[3], self.mesh, local=per_host)
         self.cam_ms = replicate(jnp.asarray(ds.cam_ms), self.mesh)
         self.cam_eyes = replicate(jnp.asarray(ds.cam_eyes), self.mesh)
         self.num_poses = int(ds.cam_ms.shape[0])
@@ -559,8 +578,10 @@ class RGBSMSystem(EfficientSMSystem):
 
     def _prepare_data(self):
         super()._prepare_data()
+        # _train_bufs[-1] is all_sm, row-equalized alongside the other
+        # buffers by the base class (per-host white_pix-style filters)
         self.sm_buf = shard_rays(
-            self.train_dataset.all_sm, self.mesh, local=self._per_host
+            self._train_bufs[-1], self.mesh, local=self._per_host
         )
 
     def _epoch_fn_for(self, light_n: int):

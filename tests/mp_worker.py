@@ -81,13 +81,19 @@ def run_shadow3(work, shadow_scene, pid):
     # pose tables full everywhere — identical params must still fall out
     from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
 
+    # white_pix makes the per-ray filter CONTENT-dependent: hosts keep
+    # different row counts even after wrap-padded frame shards, so this
+    # exercises the allgather row-equalization (review round 3)
     cfg = Config(dataset_name="efficient_sm", exp_name="mp_sm_ph",
-                 per_host_data=True, **base)
+                 per_host_data=True, white_pix=0.4, **base)
     ph = EfficientSMSystem(cfg)
     n_frames = ph.num_poses  # full pose table despite the local subset
     assert n_frames == 3, n_frames
-    # wrap-padded to ceil(3/2)=2 frames on BOTH hosts (see mp core stage)
-    assert ph.train_dataset.all_rays.shape[0] == 2 * 8 * 8
+    # wrap-padded to ceil(3/2)=2 frames, then white_pix-filtered
+    assert ph.train_dataset.all_rays.shape[0] <= 2 * 8 * 8
+    # equalized: the GLOBAL buffer divides evenly with no host's rays
+    # beyond the sub-device remainder truncated
+    assert ph.rays_buf.shape[0] % ph.mesh.devices.size == 0
     digests["efficient_sm_per_host"] = digest_of(ph.fit())
     print(f"[worker {pid}] efficient_sm per-host done", flush=True)
 

@@ -186,3 +186,22 @@ def test_frame_shard_loaders(shadow_root):
         BlenderEfficientShadows(
             shadow_root, "train", img_wh=(8, 8), frame_shard=(5, 99)
         )
+
+
+def test_equalize_rows_wraps_to_target():
+    """Row equalization for content-dependent per-host filters: wrap-repeat
+    to the global max, no-op when already at/above target."""
+    from nerf_pl_tpu.data.sharding import equalize_rows
+
+    a = np.arange(10).reshape(5, 2)
+    b = np.arange(5)
+    ea, eb = equalize_rows([a, b], 5, 8)
+    assert ea.shape == (8, 2) and eb.shape == (8,)
+    np.testing.assert_array_equal(ea[5:], a[:3])
+    np.testing.assert_array_equal(eb[5:], b[:3])
+    # wrap more than once
+    (ec,) = equalize_rows([b], 5, 13)
+    np.testing.assert_array_equal(ec, np.arange(13) % 5)
+    # no-op at target
+    (ed,) = equalize_rows([b], 5, 5)
+    np.testing.assert_array_equal(ed, b)
