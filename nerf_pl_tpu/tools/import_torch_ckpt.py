@@ -23,6 +23,32 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def _torch_load(in_path: str, allow_pickle: bool):
+    """``torch.load`` under the safe unpickler, falling back to full
+    (unsafe) unpickling ONLY when (a) the safe load was what failed — not a
+    missing/corrupt file (``PytorchStreamReader`` errors are RuntimeError
+    too, and must surface as themselves rather than steer users toward
+    unpickling a damaged or untrusted file) — and (b) the caller opted in.
+    """
+    import torch
+
+    try:
+        return torch.load(in_path, map_location="cpu", weights_only=True)
+    except pickle.UnpicklingError:
+        pass  # the weights-only rejection: eligible for --allow_pickle
+    except RuntimeError as e:
+        # older torch raises the rejection as RuntimeError; match its
+        # message, let stream/zip corruption propagate as itself
+        if "Weights only load failed" not in str(e):
+            raise
+    if not allow_pickle:
+        raise RuntimeError(
+            f"{in_path} needs full (unsafe) unpickling — rerun with "
+            "--allow_pickle if you trust this checkpoint"
+        )
+    return torch.load(in_path, map_location="cpu", weights_only=False)
+
+
 def _to_np(t: Any) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
@@ -106,18 +132,7 @@ def import_torch_checkpoint(
     # reference ckpts are plain tensor/primitive dicts, loadable under the
     # safe unpickler; fall back to full pickle ONLY on explicit opt-in since
     # weights_only=False executes arbitrary code from the file
-    try:
-        ckpt = torch.load(in_path, map_location="cpu", weights_only=True)
-    # narrow catch (review round 3): only the weights-only REJECTION maps to
-    # --allow_pickle; missing/corrupt files must surface as themselves, not
-    # as "rerun with --allow_pickle"
-    except (pickle.UnpicklingError, RuntimeError):
-        if not allow_pickle:
-            raise RuntimeError(
-                f"{in_path} needs full (unsafe) unpickling — rerun with "
-                "--allow_pickle if you trust this checkpoint"
-            )
-        ckpt = torch.load(in_path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load(in_path, allow_pickle)
     params = params_from_torch_checkpoint(ckpt, coarse_name, fine_name)
     save_checkpoint(out_path, {"params": params})
     return params
@@ -263,6 +278,15 @@ def moments_from_torch_opt(
             "amsgrad=True Adam states carry max_exp_avg_sq, which optax "
             "scale_by_adam has no slot for — re-import without --full_state"
         )
+    if g0.get("weight_decay") not in (None, 0, 0.0):
+        # the resumed optax chain has no coupled-L2 term; importing silently
+        # would change the continued-training trajectory without warning
+        raise ValueError(
+            f"source Adam ran with weight_decay={g0['weight_decay']} — the "
+            "optax adam chain we resume into applies no coupled L2, so the "
+            "continued trajectory would diverge; re-import without "
+            "--full_state (weights-only)"
+        )
     ids = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
     state = opt_sd["state"]
     # torch state_dict keys may arrive as ints or (through round-trips) strs
@@ -351,18 +375,7 @@ def import_full_checkpoint(
             f"--full_state out_path must end in .ckpt (got {out_path!r}); "
             "the trainer only attempts full-state restore for .ckpt files"
         )
-    try:
-        ckpt = torch.load(in_path, map_location="cpu", weights_only=True)
-    # narrow catch (review round 3): only the weights-only REJECTION maps to
-    # --allow_pickle; missing/corrupt files must surface as themselves, not
-    # as "rerun with --allow_pickle"
-    except (pickle.UnpicklingError, RuntimeError):
-        if not allow_pickle:
-            raise RuntimeError(
-                f"{in_path} needs full (unsafe) unpickling — rerun with "
-                "--allow_pickle if you trust this checkpoint"
-            )
-        ckpt = torch.load(in_path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load(in_path, allow_pickle)
     if "optimizer_states" not in ckpt:
         raise KeyError(
             f"{in_path} carries no optimizer_states — use the weights-only "

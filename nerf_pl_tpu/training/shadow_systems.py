@@ -241,9 +241,11 @@ class _ShadowSystemBase(NeRFSystem):
         self.val_dataset = ds_cls(split="val", **kw)
         self.white_back = self.train_dataset.white_back
         ds = self.train_dataset
+        buf_names = ["all_rays", "all_rgbs", "all_pixels", "pose_idx"]
         bufs = [ds.all_rays, ds.all_rgbs, ds.all_pixels,
                 ds.pose_idx.astype(np.int32)[:, None]]
         if hasattr(ds, "all_sm"):
+            buf_names.append("all_sm")
             bufs.append(ds.all_sm)
         if per_host:
             # content-dependent per-ray filters (white_pix) keep different
@@ -261,7 +263,10 @@ class _ShadowSystemBase(NeRFSystem):
                 )
             ).reshape(-1)
             bufs = equalize_rows(bufs, n_local, int(all_rows.max()))
-        self._train_bufs = bufs  # subclasses (rgb_sm) read all_sm from here
+        # keyed by name, not position: a loader without all_sm must fail
+        # loudly in RGBSMSystem (KeyError), never silently shard pose_idx
+        # as shadow targets (review round 3)
+        self._train_bufs = dict(zip(buf_names, bufs))
         self.rays_buf = shard_rays(bufs[0], self.mesh, local=per_host)
         self.rgbs_buf = shard_rays(bufs[1], self.mesh, local=per_host)
         self.pixels_buf = shard_rays(bufs[2], self.mesh, local=per_host)
@@ -578,10 +583,16 @@ class RGBSMSystem(EfficientSMSystem):
 
     def _prepare_data(self):
         super()._prepare_data()
-        # _train_bufs[-1] is all_sm, row-equalized alongside the other
-        # buffers by the base class (per-host white_pix-style filters)
+        # all_sm is row-equalized alongside the other buffers by the base
+        # class (per-host white_pix-style filters); keyed lookup fails loud
+        # if the loader has no shadow targets
+        if "all_sm" not in self._train_bufs:
+            raise KeyError(
+                f"dataset {type(self.train_dataset).__name__} exposes no "
+                "all_sm buffer — rgb_sm training needs shadow-map targets"
+            )
         self.sm_buf = shard_rays(
-            self._train_bufs[-1], self.mesh, local=self._per_host
+            self._train_bufs["all_sm"], self.mesh, local=self._per_host
         )
 
     def _epoch_fn_for(self, light_n: int):

@@ -76,7 +76,18 @@ def _install_stubs():
             kernels normalized then outer-product), zero padding
             ``(window_size-1)//2``, per-channel grouped conv, and the
             per-pixel ``clamp((1-ssim)/2, 0, 1)`` dissimilarity before
-            reduction."""
+            reduction.
+
+            PROVENANCE CAVEAT (advisor round 3): this environment has no
+            network, so the port cannot be anchored against an installed
+            kornia==0.2.0 — parity tests that use this shim verify our
+            ``metrics.ssim`` against THIS port, not against the pinned
+            library itself.  If a CI environment with pip access ever
+            exists, pin-install kornia==0.2.0 once and assert this function
+            matches ``kornia.losses.ssim`` bit-for-bit to close the loop
+            (kernel-construction details — even/odd window centering, kernel
+            normalization order — are where a port would plausibly diverge).
+            """
             import torch.nn.functional as F
 
             def gauss1d(ws, sig):

@@ -414,3 +414,25 @@ def test_full_state_rejects_non_adam_and_bad_out_path(ref, tmp_path):
         import_full_checkpoint(path, str(tmp_path / "resume.msgpack"))
     # and the .ckpt path imports fine
     import_full_checkpoint(path, str(tmp_path / "resume.ckpt"))
+
+    # weight_decay != 0 (advisor round 3): the resumed optax chain carries
+    # no coupled L2 — a silent import would change the continued trajectory
+    path = str(tmp_path / "wd.ckpt")
+    torch.save(trainer_ckpt(torch.optim.Adam(model.parameters(), lr=1e-3,
+                                             weight_decay=1e-4)), path)
+    with pytest.raises(ValueError, match="weight_decay"):
+        import_full_checkpoint(path, str(tmp_path / "o4.ckpt"))
+
+
+def test_corrupt_ckpt_error_is_not_allow_pickle_advice(tmp_path):
+    """A truncated/corrupt file must surface the loader's own error, NOT the
+    'rerun with --allow_pickle' message that steers users toward unsafe
+    unpickling of a damaged or untrusted file (advisor round 3)."""
+    from nerf_pl_tpu.tools.import_torch_ckpt import import_torch_checkpoint
+
+    path = str(tmp_path / "corrupt.ckpt")
+    with open(path, "wb") as f:
+        f.write(b"PK\x03\x04not really a zip archive")
+    with pytest.raises(Exception) as ei:
+        import_torch_checkpoint(path, str(tmp_path / "out.msgpack"))
+    assert "allow_pickle" not in str(ei.value)
