@@ -1,15 +1,27 @@
-"""Minimal production render server: load a checkpoint once, serve novel
-views over HTTP.
+"""Production render server: load a checkpoint once, serve novel views over
+HTTP with concurrent-request batching.
 
-The reference has no serving story (offline ``eval.py`` only); for a
-framework "intended for large-scale production deployment and serving"
-this provides the missing piece: a warm, jit-compiled render path behind a
-plain HTTP API (no external web framework — stdlib ``http.server`` with a
-threading mixin; the device work itself is serialized through a lock since
-one process owns the chip).
+The reference has no serving story (offline ``eval.py`` only; its batched
+inference loop is ``eval.py:58-86``); for a framework "intended for
+large-scale production deployment and serving" this provides the missing
+piece: a warm, jit-compiled render path behind a plain HTTP API (no
+external web framework — stdlib ``http.server`` with a threading mixin).
+
+Concurrency model: one process owns the chip, so concurrent requests must
+not serialize one-image-at-a-time through the jit call.  Instead each
+allowed image size gets a ``BatchingDispatcher``: handler threads enqueue
+(rays, event) and block; a dispatcher thread drains the queue (first
+request immediately, then up to ``max_wait_ms`` for stragglers, capped at
+``max_batch``), rounds the group up to the next warm-compiled batch TIER
+(1, 2, 4, … max_batch — fixed shapes, zero recompiles at serve time; the
+pad slots repeat the last request's rays), renders the whole group as ONE
+device program, and fans the per-request images back out.  Under load the
+chip sees large ray batches (its efficient regime — same reason training
+uses batch 4096) instead of a convoy of small ones.
 
 API:
-  GET  /healthz               -> {"status": "ok", "renders": N}
+  GET  /healthz               -> {"status": "ok", "renders": N,
+                                  "batches": M, "batch_tiers": {...}}
   POST /render                body: {"eye": [x,y,z], "look_at": [x,y,z]?,
                                      "img_wh": int?, "format": "png"|"npy"}
                               -> image bytes (image/png) or raw float32
@@ -17,14 +29,17 @@ API:
 
 Start:
   python serve.py --ckpt_path ckpts/exp/epoch=15.ckpt --port 8000 \
-      --img_wh 64 --near 2 --far 6
+      --img_wh 64 --near 2 --far 6 --max_batch 8 --max_wait_ms 5
 """
 from __future__ import annotations
 
 import argparse
+import functools
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -33,12 +48,158 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(
+    jax.jit, static_argnames=("near", "far", "chunk", "rkt", "img_key")
+)
+def _serve_render_jit(params, dirs, c2ws, key, near, far, chunk, rkt,
+                      img_key):
+    """Batched view render with ON-DEVICE ray construction.
+
+    The remote-tunneled chip pays per-byte on every dispatch, so the
+    per-request upload is one 3x4 camera matrix (12 floats) instead of
+    ``wh*wh*8`` floats of host-built rays (10 MB per 16-view batch at
+    200² — measured to dominate the serving critical path).  ``dirs`` is
+    the device-resident camera-frame direction grid (passed as an ARGUMENT,
+    never a closure constant: captured arrays become program constants and
+    blow the remote-compile upload limit).  The program returns ONLY the
+    served image tensor, so XLA dead-code-eliminates the depth/opacity
+    byproducts and nothing else rides the wire back.
+    """
+    from ..ops.rendering import render_rays
+
+    rkw = dict(rkt)
+    b, p = c2ws.shape[0], dirs.shape[0]
+    # ray_utils.get_rays semantics: rotate, normalize, broadcast origin
+    rays_d = jnp.einsum("pc,bdc->bpd", dirs, c2ws[:, :, :3])
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.broadcast_to(c2ws[:, None, :, 3], rays_d.shape)
+    nf = jnp.ones((b, p, 1), rays_d.dtype)
+    rays = jnp.concatenate(
+        [rays_o, rays_d, near * nf, far * nf], -1
+    ).reshape(b * p, 8)
+    n = b * p
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.broadcast_to(rays[-1:], (pad, 8))]
+        )
+    keys = jax.random.split(key, n_chunks)
+
+    def one(args):
+        rays_c, key_c = args
+        out = render_rays(
+            params.get("coarse"), params.get("fine"), rays_c, key_c, **rkw
+        )
+        return out[img_key]
+
+    imgs = jax.lax.map(one, (rays.reshape(n_chunks, chunk, 8), keys))
+    return imgs.reshape(-1, 3)[:n]
+
+
+class _Pending:
+    """One enqueued render request: camera payload in, image (or error)
+    out."""
+
+    __slots__ = ("payload", "out", "err", "done")
+
+    def __init__(self, payload: np.ndarray):
+        self.payload = payload
+        self.out = None
+        self.err: Exception | None = None
+        self.done = threading.Event()
+
+
+class BatchingDispatcher:
+    """Coalesces concurrent same-size render requests into one batched
+    device program.
+
+    Tier policy: a group of k requests renders at the smallest warm tier
+    >= k (powers of two up to ``max_batch``).  Tiers keep every device
+    program shape fixed — request count never triggers an XLA recompile
+    while the server is live.
+    """
+
+    def __init__(self, service: "RenderService", wh: int, max_batch: int,
+                 max_wait_ms: float):
+        self.service = service
+        self.wh = wh
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.tiers = [t for t in (1, 2, 4, 8, 16, 32, 64) if t < max_batch]
+        self.tiers.append(max_batch)
+        self.q: "queue.SimpleQueue[_Pending]" = queue.SimpleQueue()
+        self._last_batch = 1  # adaptive: singles skip the straggler wait
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name=f"dispatch-wh{wh}"
+        )
+        self._thread.start()
+
+    def submit(self, payload: np.ndarray) -> np.ndarray:
+        """Enqueue one request and block until its image is rendered."""
+        item = _Pending(payload)
+        self.q.put(item)
+        item.done.wait()
+        if item.err is not None:
+            raise item.err
+        return item.out
+
+    def _collect(self) -> list:
+        """First request blocks; stragglers join until the wait window
+        closes or the batch fills.
+
+        Adaptive wait: under sequential load (previous batch was a single
+        and nothing is queued behind this request) dispatch IMMEDIATELY —
+        a lone client must not pay the straggler window on every request.
+        The first request of a burst still goes out alone, but by the time
+        it returns the rest of the burst is queued and coalesces."""
+        batch = [self.q.get()]
+        if self._last_batch <= 1 and self.q.empty():
+            self._last_batch = 1
+            return batch
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        self._last_batch = len(batch)
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            try:
+                imgs = self.service.render_batch(
+                    [p.payload for p in batch], self.wh
+                )
+                for p, img in zip(batch, imgs):
+                    p.out = img
+            except Exception as e:  # noqa: BLE001 — fan the error out to
+                for p in batch:     # every waiter; the loop must survive
+                    p.err = e
+            finally:
+                for p in batch:
+                    p.done.set()
+
+    def tier_for(self, k: int) -> int:
+        for t in self.tiers:
+            if t >= k:
+                return t
+        return self.max_batch
+
+
 class RenderService:
     """Owns the params + compiled render path; thread-safe."""
 
     def __init__(self, ckpt_path: str, img_wh: int = 64, n_samples: int = 64,
                  n_importance: int = 64, near: float = 2.0, far: float = 6.0,
-                 camera_angle_x: float = 0.8, white_back: bool = True):
+                 camera_angle_x: float = 0.8, white_back: bool = True,
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 compute_dtype: str = "auto"):
         from .evaluate import load_models
 
         self.params = load_models(ckpt_path)
@@ -51,43 +212,126 @@ class RenderService:
         self.near, self.far = near, far
         self.camera_angle_x = camera_angle_x
         self._img_key = "rgb_fine" if n_importance > 0 else "rgb_coarse"
+        on_tpu = jax.default_backend() == "tpu"
+        if compute_dtype == "auto":
+            # bf16 is the production compute dtype on TPU (the f32 fused
+            # path is HBM-bound at ~half the throughput); CPU keeps f32
+            compute_dtype = "bfloat16" if on_tpu else "float32"
         self.rkw = dict(
             N_samples=n_samples, N_importance=n_importance, perturb=0.0,
             noise_std=0.0, white_back=white_back, test_time=True,
-            use_fused=jax.default_backend() == "tpu",
+            use_fused=on_tpu,
+            compute_dtype=jnp.dtype(compute_dtype).type,
         )
         self._lock = threading.Lock()
         self.renders = 0
+        self.batches = 0
+        self.batch_tiers: dict = {}  # tier -> times dispatched
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
         # request-supplied sizes recompile the jitted path (minutes on a
         # remote-tunneled TPU) while holding the device lock; only sizes
         # warmed at startup are accepted
         self.allowed_wh = {img_wh}
+        self._dispatchers: dict = {}
+        self._dirs: dict = {}  # wh -> device-resident direction grid
+
+    def _dirs_for(self, wh: int):
+        d = self._dirs.get(wh)
+        if d is None:
+            from ..ops.ray_utils import get_ray_directions
+
+            focal = 0.5 * 800 / np.tan(0.5 * self.camera_angle_x) * wh / 800
+            d = jax.device_put(
+                jnp.asarray(
+                    get_ray_directions(wh, wh, focal).reshape(-1, 3)
+                )
+            )
+            self._dirs[wh] = d
+        return d
+
+    def _dispatcher_for(self, wh: int) -> BatchingDispatcher:
+        # created lazily under the lock so warm() and first-request paths
+        # agree on one dispatcher per size
+        d = self._dispatchers.get(wh)
+        if d is None:
+            with self._lock:
+                d = self._dispatchers.get(wh)
+                if d is None:
+                    d = BatchingDispatcher(
+                        self, wh, self.max_batch, self.max_wait_ms
+                    )
+                    self._dispatchers[wh] = d
+        return d
 
     def warm(self):
-        """Compile the render path for every allowed size before serving
-        (the docstring's 'warm, jit-compiled render path' promise — without
-        this the first request per size eats the full XLA compile)."""
-        for wh in sorted(self.allowed_wh):
-            self.render([0.0, 0.5, 4.0], wh=wh)
+        """Compile the render path for every (allowed size, batch tier)
+        before serving — without this the first request per shape eats the
+        full XLA compile while holding the device lock."""
+        try:
+            self._warm_all()
+        except Exception:
+            # bf16 Pallas programs occasionally crash the remote AOT
+            # compiler (CLAUDE.md: libtpu regalloc RET_CHECK); f32 always
+            # compiles — degrade rather than refuse to serve
+            if jnp.dtype(self.rkw["compute_dtype"]) != jnp.float32:
+                print("[serve] warm failed at "
+                      f"{jnp.dtype(self.rkw['compute_dtype']).name} — "
+                      "falling back to float32", flush=True)
+                self.rkw["compute_dtype"] = jnp.float32
+                self._warm_all()
+            else:
+                raise
         self.renders = 0
+        self.batches = 0
+        self.batch_tiers = {}
 
-    def _rays_for(self, eye, look_at, wh):
+    def _warm_all(self):
+        for wh in sorted(self.allowed_wh):
+            disp = self._dispatcher_for(wh)
+            c2w = self._c2w_for([0.0, 0.5, 4.0], (0.0, 0.0, 0.0))
+            for tier in disp.tiers:
+                self.render_batch([c2w] * tier, wh)
+
+    def _c2w_for(self, eye, look_at) -> np.ndarray:
         from ..models.camera import c2w_from_lookat
-        from ..ops.ray_utils import get_ray_directions, get_rays
 
-        focal = 0.5 * 800 / np.tan(0.5 * self.camera_angle_x) * wh / 800
-        c2w = c2w_from_lookat(
+        return c2w_from_lookat(
             np.asarray(eye, np.float32), np.asarray(look_at, np.float32)
-        )[:3, :4]
-        o, d = get_rays(get_ray_directions(wh, wh, focal), c2w)
-        nf = np.ones_like(o[:, :1])
-        return np.concatenate(
-            [o, d, self.near * nf, self.far * nf], 1
-        ).astype(np.float32)
+        )[:3, :4].astype(np.float32)
+
+    def render_batch(self, c2w_list, wh: int) -> list:
+        """Render k same-size requests as ONE device program at the next
+        warm tier (pad slots repeat the last request's camera) and split
+        the composite image stack back per-request."""
+        disp = self._dispatcher_for(wh)
+        k = len(c2w_list)
+        tier = disp.tier_for(k)
+        c2ws = np.stack(list(c2w_list) + [c2w_list[-1]] * (tier - k))
+        n = tier * wh * wh
+        # chunk: as close to 32k as divides the batch evenly (zero pad rays)
+        chunk = -(-n // -(-n // (32 * 1024)))
+        rkw = dict(self.rkw)
+        if rkw.pop("use_fused"):
+            rkw.update(use_fused=True, fused_channel_io=True)
+        with self._lock:  # one chip — dispatchers for different sizes
+            imgs = _serve_render_jit(  # must not interleave device programs
+                self.params, self._dirs_for(wh), jnp.asarray(c2ws),
+                jax.random.PRNGKey(0), near=self.near, far=self.far,
+                chunk=chunk, rkt=tuple(sorted(rkw.items())),
+                img_key=self._img_key,
+            )
+            imgs = np.asarray(imgs, dtype=np.float32)  # bf16-safe fetch
+            self.renders += k
+            self.batches += 1
+            self.batch_tiers[tier] = self.batch_tiers.get(tier, 0) + 1
+        imgs = np.clip(imgs.reshape(tier, wh, wh, 3), 0, 1)
+        return [imgs[i] for i in range(k)]
 
     def render(self, eye, look_at=(0.0, 0.0, 0.0), wh=None) -> np.ndarray:
-        from .render import render_image
-
+        """One request: build the camera, enqueue on the size's dispatcher,
+        block for the image.  Concurrent callers coalesce into one device
+        batch."""
         wh = wh or self.img_wh
         if wh not in self.allowed_wh:
             raise ValueError(
@@ -95,17 +339,8 @@ class RenderService:
                 f"{sorted(self.allowed_wh)}) — each new size would compile "
                 f"a fresh device program while blocking all requests"
             )
-        rays = self._rays_for(eye, look_at, wh)
-        with self._lock:  # one chip, one request at a time on-device
-            out = render_image(
-                self.params, jnp.asarray(rays), jax.random.PRNGKey(0),
-                **self.rkw,
-            )
-            jax.block_until_ready(out)
-            self.renders += 1
-        return np.clip(
-            np.asarray(out[self._img_key]).reshape(wh, wh, 3), 0, 1
-        )
+        c2w = self._c2w_for(eye, look_at)
+        return self._dispatcher_for(wh).submit(c2w)
 
 
 def make_handler(service: RenderService):
@@ -138,7 +373,17 @@ def make_handler(service: RenderService):
                 self._send(
                     200,
                     json.dumps(
-                        {"status": "ok", "renders": service.renders}
+                        {
+                            "status": "ok",
+                            "renders": service.renders,
+                            "batches": service.batches,
+                            "batch_tiers": {
+                                str(k): v
+                                for k, v in sorted(
+                                    service.batch_tiers.items()
+                                )
+                            },
+                        }
                     ).encode(),
                     "application/json",
                 )
@@ -215,6 +460,18 @@ def get_opts(argv=None):
     ap.add_argument("--camera_angle_x", type=float, default=0.8)
     ap.add_argument("--white_back", type=lambda s: s.lower() == "true",
                     default=True)
+    ap.add_argument("--max_batch", type=int, default=8,
+                    help="max concurrent requests coalesced into one device "
+                         "batch (tiers 1,2,4,..,max_batch warm-compile at "
+                         "startup)")
+    ap.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="how long the dispatcher holds the first request "
+                         "open for stragglers before rendering (adaptive: "
+                         "sequential singles skip the wait entirely)")
+    ap.add_argument("--compute_dtype", default="auto",
+                    choices=["auto", "bfloat16", "float32"],
+                    help="auto = bfloat16 on TPU (f32 fallback if the "
+                         "remote compiler rejects it), float32 elsewhere")
     return ap.parse_args(argv)
 
 
@@ -222,13 +479,17 @@ def build_server(args, warm: bool = True) -> ThreadingHTTPServer:
     service = RenderService(
         args.ckpt_path, args.img_wh, args.N_samples, args.N_importance,
         args.near, args.far, args.camera_angle_x, args.white_back,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        compute_dtype=args.compute_dtype,
     )
     service.allowed_wh.update(args.extra_img_wh or [])
     if warm:
         service.warm()
-    return ThreadingHTTPServer(
+    server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(service)
     )
+    server.service = service  # introspection (tests, ops tooling)
+    return server
 
 
 def main(argv=None):

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Dict
 
@@ -33,6 +34,9 @@ class RunLogger:
         self.primary = _is_primary()
         self._jsonl = None
         self._tb = None
+        # scalar writes come from the main loop while image dumps arrive
+        # from the background AsyncWriter thread — serialize the streams
+        self._lock = threading.Lock()
         if not self.primary:
             return
         os.makedirs(self.dir, exist_ok=True)
@@ -50,19 +54,24 @@ class RunLogger:
             return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in values.items()})
-        self._jsonl.write(json.dumps(rec) + "\n")
-        self._jsonl.flush()
-        if self._tb:
-            for k, v in values.items():
-                self._tb.add_scalar(k, float(v), int(step))
+        with self._lock:
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
+            if self._tb:
+                for k, v in values.items():
+                    self._tb.add_scalar(k, float(v), int(step))
 
     def images(self, step: int, tag: str, images: np.ndarray) -> None:
         """images: (N, 3, H, W) float in [0, 1]."""
         if self._tb:
-            self._tb.add_images(tag, np.asarray(images), int(step))
+            with self._lock:
+                self._tb.add_images(tag, np.asarray(images), int(step))
 
     def close(self) -> None:
-        if self._jsonl:
-            self._jsonl.close()
-        if self._tb:
-            self._tb.close()
+        with self._lock:
+            if self._jsonl:
+                self._jsonl.close()
+                self._jsonl = None
+            if self._tb:
+                self._tb.close()
+                self._tb = None

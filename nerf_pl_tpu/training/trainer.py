@@ -184,6 +184,13 @@ class NeRFSystem:
         self.epoch_fn = self._build_epoch_fn()
         self.ckpt_root = os.path.join(cfg.ckpt_dir, cfg.exp_name)
         self._topk: list = []  # (val_loss, path)
+        # background checkpoint/image IO (VERDICT r3 weak #2): one ordered
+        # worker; the main loop snapshots on device and rolls straight into
+        # the next epoch while the worker fetches + serializes
+        from ..utils.io_async import AsyncWriter
+
+        self._writer = AsyncWriter()
+        self._snap_fn = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
 
     # host-streaming: optimizer steps per dispatch (per-dispatch overhead is
     # ~20 ms through a remote-tunneled backend, so single-step dispatching
@@ -423,46 +430,74 @@ class NeRFSystem:
             psnrs.append(float(psnr_metric(results[f"rgb_{typ}"], rgbs)))
             losses.append(float(loss))
             if i == 0:
+                # TB image assembly off the epoch critical path: capture
+                # the (non-donated) render outputs and let the writer
+                # thread do the fetch + colormap + TB write
                 W, H = cfg.img_wh
-                img = np.asarray(results[f"rgb_{typ}"]).reshape(H, W, 3)
-                gt = np.asarray(rgbs).reshape(H, W, 3)
-                depth = visualize_depth(
-                    np.asarray(results[f"depth_{typ}"]).reshape(H, W)
-                )
-                stack = np.stack(
-                    [gt.transpose(2, 0, 1), img.transpose(2, 0, 1), depth]
-                )
-                self.logger.images(
-                    epoch * self.steps_per_epoch, "val/GT_pred_depth", stack
-                )
+                rgb_out, depth_out = results[f"rgb_{typ}"], results[f"depth_{typ}"]
+                step0 = epoch * self.steps_per_epoch
+
+                def dump(rgb_out=rgb_out, depth_out=depth_out, rgbs=rgbs,
+                         step0=step0):
+                    img = np.asarray(rgb_out, dtype=np.float32).reshape(H, W, 3)
+                    gt = np.asarray(rgbs, dtype=np.float32).reshape(H, W, 3)
+                    depth = visualize_depth(
+                        np.asarray(depth_out, dtype=np.float32).reshape(H, W)
+                    )
+                    stack = np.stack(
+                        [gt.transpose(2, 0, 1), img.transpose(2, 0, 1), depth]
+                    )
+                    self.logger.images(step0, "val/GT_pred_depth", stack)
+
+                self._writer.submit(dump)
         return {"val/loss": float(np.mean(losses)), "val/psnr": float(np.mean(psnrs))}
 
     # -- checkpointing ------------------------------------------------------
     def save_ckpt(self, epoch: int, val_loss: Optional[float],
-                  filename: Optional[str] = None):
+                  filename: Optional[str] = None, background: bool = True):
         """Write a resumable checkpoint. ``val_loss=None`` (the preemption
         path) writes to its own file and is exempt from top-5 pruning —
         tracking it with an inf loss would delete it immediately (and could
-        remove a validated checkpoint sharing the epoch=N path)."""
+        remove a validated checkpoint sharing the epoch=N path).
+
+        ``background=True`` (the epoch-loop default) snapshots params and
+        opt state ON DEVICE with one jitted copy — queued after this
+        epoch's program but owning its own buffers, so the NEXT epoch's
+        donated-argument dispatch cannot invalidate what we're about to
+        fetch — then hands the host transfer + msgpack write to the
+        ordered writer thread.  The device transfer overlaps the next
+        epoch's compute instead of stalling it.  The preemption handler
+        passes ``background=False`` (the process is about to die)."""
         os.makedirs(self.ckpt_root, exist_ok=True)
         name = filename or f"epoch={epoch}.ckpt"
         path = os.path.join(self.ckpt_root, name)
-        checkpoints.save_checkpoint(
-            path,
-            {
-                "params": jax.device_get(self.params),
-                "opt_state": jax.device_get(self.opt_state),
-                "epoch": epoch,
-            },
-        )
-        if val_loss is None:
-            return
-        self._topk.append((val_loss, path))
-        self._topk.sort(key=lambda t: t[0])
-        while len(self._topk) > 5:
-            _, worst = self._topk.pop()
-            if os.path.exists(worst):
-                os.remove(worst)
+        if background:
+            params, opt_state = self._snap_fn((self.params, self.opt_state))
+        else:
+            params, opt_state = self.params, self.opt_state
+
+        def write():
+            checkpoints.save_checkpoint(
+                path,
+                {
+                    "params": jax.device_get(params),
+                    "opt_state": jax.device_get(opt_state),
+                    "epoch": epoch,
+                },
+            )
+            if val_loss is None:
+                return
+            self._topk.append((val_loss, path))
+            self._topk.sort(key=lambda t: t[0])
+            while len(self._topk) > 5:
+                _, worst = self._topk.pop()
+                if os.path.exists(worst):
+                    os.remove(worst)
+
+        if background:
+            self._writer.submit(write)
+        else:
+            write()
 
     def _reshuffle_buffers(self, epoch: int) -> None:
         """``--global_reshuffle``: re-shard the device buffers with a fresh
@@ -493,10 +528,15 @@ class NeRFSystem:
         from ..utils.profiling import install_preemption_handler
 
         self._last_epoch = self.epoch0
-        install_preemption_handler(
-            lambda: self.save_ckpt(self._last_epoch, None,
-                                   filename="preempt.ckpt")
-        )
+
+        def preempt_save():
+            # flush pending background writes first (ordered), then save
+            # synchronously — the process dies right after this returns
+            self._writer.drain()
+            self.save_ckpt(self._last_epoch, None, filename="preempt.ckpt",
+                           background=False)
+
+        install_preemption_handler(preempt_save)
         if self.cfg.debug_nans:
             from ..utils.profiling import enable_nan_debugging
 
@@ -571,5 +611,6 @@ class NeRFSystem:
                 # epochs between validated (top-5-pruned) saves
                 self.save_ckpt(epoch, None, filename="last.ckpt")
             print(msg, flush=True)
+        self._writer.drain()  # all checkpoints on disk before returning
         self.logger.close()
         return self.params

@@ -27,11 +27,21 @@ import pytest
 def blender_root(tmp_path_factory):
     """A tiny synthetic Blender-format scene (3 train / 2 val / 2 test frames
     of a procedurally shaded 16x16 sphere on transparent background)."""
+    return make_blender_scene(tmp_path_factory.mktemp("blender_scene"))
+
+
+@pytest.fixture(scope="session")
+def blender_root4(tmp_path_factory):
+    """4-train-frame variant for uneven 3-process frame shards (2/1/1)."""
+    return make_blender_scene(
+        tmp_path_factory.mktemp("blender_scene4"), n_train=4
+    )
+
+
+def make_blender_scene(root, n_train=3, wh=16):
     from PIL import Image
 
-    root = tmp_path_factory.mktemp("blender_scene")
     rng = np.random.RandomState(0)
-    wh = 16
 
     def pose(theta):
         # camera on a circle of radius 4 looking at origin (y-up blender-ish)
@@ -45,7 +55,7 @@ def blender_root(tmp_path_factory):
         m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, up, fwd, eye
         return m
 
-    for split, n in [("train", 3), ("val", 2), ("test", 2)]:
+    for split, n in [("train", n_train), ("val", 2), ("test", 2)]:
         frames = []
         (root / split).mkdir(exist_ok=True)
         for i in range(n):
@@ -77,11 +87,23 @@ def blender_root(tmp_path_factory):
 def shadow_root(tmp_path_factory):
     """A tiny synthetic shadow scene: RGB frames + sm_*.png shadow-map
     targets + a light camera in the meta (efficient_sm/rgb_sm format)."""
+    return make_shadow_scene(tmp_path_factory.mktemp("shadow_scene"))
+
+
+@pytest.fixture(scope="session")
+def shadow_root4(tmp_path_factory):
+    """4-train-frame variant: frames[p::3] shards UNEVENLY over 3 hosts
+    (2/1/1) — exercises the wrap-pad + row-equalization path that never
+    occurs at 2 processes on a multiple-of-2 frame count."""
+    return make_shadow_scene(
+        tmp_path_factory.mktemp("shadow_scene4"), n_train=4
+    )
+
+
+def make_shadow_scene(root, n_train=3, wh=8):
     from PIL import Image
 
-    root = tmp_path_factory.mktemp("shadow_scene")
     rng = np.random.RandomState(1)
-    wh = 8
 
     def pose(theta, height=0.5, r=4.0):
         c, s = np.cos(theta), np.sin(theta)
@@ -95,7 +117,7 @@ def shadow_root(tmp_path_factory):
         return m
 
     light_pose = pose(1.0, height=3.0, r=5.0)
-    for split, n in [("train", 3), ("val", 2), ("test", 1)]:
+    for split, n in [("train", n_train), ("val", 2), ("test", 1)]:
         frames = []
         for i in range(n):
             theta = 2 * np.pi * (i + (0.25 if split != "train" else 0)) / max(n, 1)

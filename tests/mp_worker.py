@@ -19,9 +19,16 @@ THROUGH the sharded light-cache all_gather — the psum_scatter transpose),
 ``ShadowMappingSystem`` (all_gather'd whole-image depth composite), each
 asserted to identical cross-process param digests.
 
+Round 4 adds the ``uneven3`` stage (VERDICT round-3 next #4): a 3-process
+run (``MP_NPROC=3``, 2 virtual devices each) where ``frames[pid::3]`` on a
+4-frame scene shards UNEVENLY (2/1/1) — the first real exercise of the
+wrap-pad + per-host row-equalization landed in round 3 (commit 797aec2) at
+a process count where the padding actually differs per host.
+
 Usage: python mp_worker.py <process_id> <port> <scene_dir> <work_dir> \
            [shadow_scene] [stage]
-``stage`` ∈ {core (default), shadow3}.
+``stage`` ∈ {core (default), shadow3, uneven3};
+``MP_NPROC`` env sets the process count (default 2).
 """
 import hashlib
 import json
@@ -101,21 +108,74 @@ def run_shadow3(work, shadow_scene, pid):
         json.dump({"pid": pid, "ok": True, **digests}, f)
 
 
+def run_uneven3(work, scene, shadow_scene, pid, nproc):
+    """3-process uneven-shard matrix: frames[pid::3] on 4-frame scenes."""
+    import jax
+    import numpy as np
+
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
+    from nerf_pl_tpu.training.trainer import NeRFSystem
+
+    digests = {}
+    n_dev = jax.device_count()
+
+    # vanilla trainer, per-host frames + per-epoch global reshuffle
+    cfg = Config(
+        root_dir=scene, dataset_name="blender", img_wh=(16, 16),
+        N_samples=4, N_importance=4, batch_size=24, num_epochs=2,
+        chunk=256, lr=5e-3, blender_near=2.0, blender_far=6.0,
+        white_back=True, exp_name="mp_u3",
+        log_dir=os.path.join(work, "logs"),
+        ckpt_dir=os.path.join(work, "ckpts"), num_sanity_val_steps=0,
+        use_fused_mlp=False, compilation_cache=False, per_host_data=True,
+        global_reshuffle=True,
+    )
+    ph = NeRFSystem(cfg)
+    # 4 frames over 3 hosts: every host wrap-pads to ceil(4/3)=2 frames
+    assert ph.train_dataset.all_rays.shape[0] == 2 * 16 * 16, (
+        ph.train_dataset.all_rays.shape
+    )
+    digests["nerf_per_host_reshuffle"] = digest_of(ph.fit())
+    print(f"[worker {pid}] uneven3 nerf done", flush=True)
+
+    # efficient_sm per-host with a CONTENT-dependent row filter: hosts hold
+    # different ray counts even after the frame wrap-pad, so the allgather
+    # row-equalization must reconcile 3 distinct counts
+    cfg = Config(
+        root_dir=shadow_scene, dataset_name="efficient_sm",
+        img_wh=(8, 8), N_samples=4, N_importance=0, batch_size=12,
+        num_epochs=1, chunk=128, lr=1e-3, noise_std=0.0,
+        Light_N_importance=0, sample_light_depth_every=2,
+        exp_name="mp_u3_sm", log_dir=os.path.join(work, "logs"),
+        ckpt_dir=os.path.join(work, "ckpts"), num_sanity_val_steps=0,
+        use_fused_mlp=False, compilation_cache=False, per_host_data=True,
+        white_pix=0.4,
+    )
+    sm = EfficientSMSystem(cfg)
+    assert sm.num_poses == 4, sm.num_poses  # full pose table everywhere
+    assert sm.rays_buf.shape[0] % n_dev == 0
+    digests["efficient_sm_per_host"] = digest_of(sm.fit())
+    print(f"[worker {pid}] uneven3 efficient_sm done", flush=True)
+
+    with open(os.path.join(work, f"result_{pid}.json"), "w") as f:
+        json.dump({"pid": pid, "ok": True, **digests}, f)
+
+
 def main():
     pid, port, scene, work = (
         int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
     )
     stage = sys.argv[6] if len(sys.argv) > 6 else "core"
+    nproc = int(os.environ.get("MP_NPROC", "2"))
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}", num_processes=2,
+        coordinator_address=f"localhost:{port}", num_processes=nproc,
         process_id=pid,
     )
-    assert jax.process_count() == 2
-    assert jax.device_count() == 8, jax.device_count()
-    assert jax.local_device_count() == 4
+    assert jax.process_count() == nproc
 
     import numpy as np
 
@@ -132,6 +192,15 @@ def main():
         run_shadow3(work, sys.argv[5], pid)
         print(f"[worker {pid}] shadow3 done", flush=True)
         return
+
+    if stage == "uneven3":
+        run_uneven3(work, scene, sys.argv[5], pid, nproc)
+        print(f"[worker {pid}] uneven3 done", flush=True)
+        return
+
+    # the original 2-process stages assume the 2x4-device layout
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
 
     # --- shard_rays global-buffer assembly (both layouts) -------------------
     mesh = make_mesh()

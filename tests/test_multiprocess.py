@@ -152,3 +152,52 @@ def test_two_process_shadow_trainers(shadow_root, tmp_path):
                 "efficient_sm_per_host"):
         assert results[0][key] is not None, key
         assert results[0][key] == results[1][key], key
+
+
+def test_three_process_uneven_shards(blender_root4, shadow_root4, tmp_path):
+    """3 processes x 2 virtual devices with 4-frame scenes: frames[p::3]
+    shards UNEVENLY (2/1/1), so the DistributedSampler-style wrap-pad AND
+    the white_pix row-equalization (round-3 commit 797aec2) reconcile three
+    DIFFERENT per-host shapes for the first time (VERDICT r3 next #4).
+    All three processes must converge to identical params."""
+    work = str(tmp_path)
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["MP_NPROC"] = "3"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port),
+             str(blender_root4), work, str(shadow_root4), "uneven3"],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1, 2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = []
+    for pid in (0, 1, 2):
+        with open(os.path.join(work, f"result_{pid}.json")) as f:
+            results.append(json.load(f))
+    assert all(r["ok"] for r in results)
+    for key in ("nerf_per_host_reshuffle", "efficient_sm_per_host"):
+        vals = [r[key] for r in results]
+        assert vals[0] is not None, key
+        assert vals[0] == vals[1] == vals[2], (key, vals)

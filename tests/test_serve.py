@@ -24,12 +24,20 @@ def server(tmp_path_factory):
     )
     args = get_opts(
         ["--ckpt_path", ckpt, "--port", "0", "--img_wh", "8",
-         "--N_samples", "4", "--N_importance", "4"]
+         "--N_samples", "4", "--N_importance", "4",
+         "--max_batch", "8", "--max_wait_ms", "200"]
     )
     srv = build_server(args)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    class S(str):
+        pass
+
+    s = S(url)
+    s.service = srv.service
+    yield s
     srv.shutdown()
 
 
@@ -98,3 +106,130 @@ def test_unwarmed_img_wh_rejected_fast(server):
         urllib.request.urlopen(f"{server}/render?img_wh=33", timeout=60)
     assert ei.value.code == 400
     assert b"not warmed" in ei.value.read()
+
+
+def test_batched_render_matches_single(server):
+    """A coalesced batch must return each request its OWN image, identical
+    to rendering that request alone (padding slots and neighbors in the
+    batch must not bleed into per-ray results)."""
+    svc = server.service
+    cams = [svc._c2w_for(eye, (0.0, 0.0, 0.0))
+            for eye in ([4, 1, 0], [0, 1, 4], [-3, 0.5, 2])]
+    batched = svc.render_batch(cams, 8)  # k=3 -> tier 4 (one pad slot)
+    singles = [svc.render_batch([c], 8)[0] for c in cams]
+    for b, s in zip(batched, singles):
+        np.testing.assert_allclose(b, s, atol=1e-5)
+
+
+def test_serve_on_device_rays_match_host_path(server):
+    """The serving program builds rays ON DEVICE from the 3x4 camera (12
+    floats up the tunnel instead of wh*wh*8); it must match the host-side
+    get_ray_directions/get_rays -> render_image eval path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_pl_tpu.ops.ray_utils import get_ray_directions, get_rays
+    from nerf_pl_tpu.tools.render import render_image
+
+    svc = server.service
+    c2w = svc._c2w_for([4, 1, 0], (0.0, 0.0, 0.0))
+    img = svc.render_batch([c2w], 8)[0]
+
+    focal = 0.5 * 800 / np.tan(0.5 * svc.camera_angle_x) * 8 / 800
+    o, d = get_rays(get_ray_directions(8, 8, focal), c2w)
+    nf = np.ones_like(o[:, :1])
+    rays = np.concatenate(
+        [o, d, svc.near * nf, svc.far * nf], 1
+    ).astype(np.float32)
+    out = render_image(
+        svc.params, jnp.asarray(rays), jax.random.PRNGKey(0), **svc.rkw
+    )
+    ref = np.clip(np.asarray(out[svc._img_key]).reshape(8, 8, 3), 0, 1)
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_dispatcher_coalesces_concurrent_submits(server):
+    """Concurrent submits inside the wait window must dispatch as ONE
+    device batch (the whole point of the batching server)."""
+    svc = server.service
+    before = svc.batches
+    c2w = svc._c2w_for([4, 1, 0], (0.0, 0.0, 0.0))
+    disp = svc._dispatcher_for(8)
+    results = [None] * 6
+    threads = [
+        threading.Thread(
+            target=lambda i=i: results.__setitem__(i, disp.submit(c2w))
+        )
+        for i in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None and r.shape == (8, 8, 3) for r in results)
+    # 6 submits landing within the 200 ms window: at most 2 device batches
+    # (the dispatcher may grab the first submit before the rest enqueue)
+    assert svc.batches - before <= 2
+
+
+def test_concurrent_http_requests_all_served_and_batched(server):
+    """N concurrent HTTP clients: every request gets its image, and the
+    healthz counters show fewer device batches than renders."""
+    svc = server.service
+    r0, b0 = svc.renders, svc.batches
+    errs, oks = [], []
+
+    def one(theta):
+        try:
+            with urllib.request.urlopen(
+                f"{server}/render?theta={theta}&img_wh=8&format=npy",
+                timeout=300,
+            ) as r:
+                oks.append(np.load(io.BytesIO(r.read())))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=one, args=(0.1 * i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert len(oks) == 8 and all(o.shape == (8, 8, 3) for o in oks)
+    assert svc.renders - r0 == 8
+    assert svc.batches - b0 < 8  # actually coalesced
+    with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
+        body = json.loads(r.read())
+    assert body["renders"] == svc.renders
+    assert body["batches"] == svc.batches
+    assert body["batch_tiers"]
+
+
+def test_dispatcher_error_fans_out_to_all_waiters(server):
+    """A failing device render must error EVERY request in the batch (and
+    the dispatcher must survive for subsequent requests)."""
+    from nerf_pl_tpu.tools.serve import BatchingDispatcher
+
+    class Boom:
+        def render_batch(self, rays_list, wh):
+            raise RuntimeError("device on fire")
+
+    disp = BatchingDispatcher(Boom(), 8, max_batch=4, max_wait_ms=100)
+    errs = []
+
+    def one():
+        try:
+            disp.submit(np.zeros((64, 8), np.float32))
+        except RuntimeError as e:
+            errs.append(str(e))
+
+    threads = [threading.Thread(target=one) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert errs == ["device on fire"] * 3
+    # dispatcher thread still alive for the next request
+    with pytest.raises(RuntimeError, match="device on fire"):
+        disp.submit(np.zeros((64, 8), np.float32))

@@ -62,6 +62,7 @@ def test_efficient_sm_validation(shadow_root, tmp_path):
     import glob
     import os
 
+    system._writer.drain()  # PNG dumps are background now (fit() drains)
     assert glob.glob(os.path.join(system.logger.dir, "imgs", "rgb_*.png"))
 
 

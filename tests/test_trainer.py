@@ -100,9 +100,13 @@ def test_preemption_ckpt_survives_topk_pruning(fitted, tmp_path):
         system.ckpt_root = str(tmp_path / "preempt_ckpts")
         system._topk = []
         # fill the top-5 list so any tracked save would be prune-eligible
+        # (epoch-loop saves are BACKGROUND now — drain like fit() does)
         for i in range(5):
             system.save_ckpt(100 + i, float(i))
-        system.save_ckpt(999, None, filename="preempt.ckpt")
+        system._writer.drain()
+        # the preemption handler saves synchronously (process is dying)
+        system.save_ckpt(999, None, filename="preempt.ckpt",
+                         background=False)
         path = os.path.join(system.ckpt_root, "preempt.ckpt")
         assert os.path.exists(path), "preemption checkpoint was pruned"
         # and it is loadable
@@ -245,3 +249,49 @@ def test_fused_channel_io_policy(tmp_path):
     for train in (True, False):
         assert render_kwargs_from_cfg(off, True, train=train)[
             "fused_channel_io"] is False
+
+
+def test_background_ckpt_snapshot_survives_donation(fitted, tmp_path):
+    """save_ckpt(background=True) snapshots on device BEFORE the next
+    epoch's donated-argument dispatch; the written checkpoint must hold the
+    PRE-epoch params even though the epoch program recycled their buffers
+    while the write was in flight."""
+    import jax
+    import os
+
+    from nerf_pl_tpu.training import checkpoints
+
+    system, cfg, tmp = fitted
+    orig_root, orig_topk = system.ckpt_root, list(system._topk)
+    try:
+        system.ckpt_root = str(tmp_path / "snap_ckpts")
+        system._topk = []
+        before = jax.device_get(system.params)
+        system.save_ckpt(7, 0.5)  # background: snapshot + async write
+        # immediately dispatch a donating epoch program on the same arrays
+        system.rng, ek = jax.random.split(system.rng)
+        system.params, system.opt_state, _, _ = system.epoch_fn(
+            system.params, system.opt_state, system.rays_buf,
+            system.rgbs_buf, ek,
+        )
+        system._writer.drain()
+        state = checkpoints.load_checkpoint(
+            os.path.join(system.ckpt_root, "epoch=7.ckpt")
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state["params"]),
+            jax.tree_util.tree_leaves(before),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the epoch actually changed the live params (the snapshot is a
+        # copy, not an alias)
+        changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(jax.device_get(system.params)),
+                jax.tree_util.tree_leaves(before),
+            )
+        )
+        assert changed
+    finally:
+        system.ckpt_root, system._topk = orig_root, orig_topk
