@@ -75,6 +75,13 @@ class Config:
     # --- framework extensions (no reference equivalent) ---
     seed: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' for max MXU throughput
+    # MLP trunk width W (reference models/nerf.py:25 fixes W=256).  Widths
+    # 1024-2048 run the MXU at ~175 TF/s vs ~107 at 256 (docs/results.md
+    # width ceiling) — this flag unlocks that tier for research/serving
+    # variants.  Non-256 widths route through the XLA path (the fused
+    # Pallas kernel is specialized to the reference architecture); every
+    # default and parity surface is unchanged at 256.
+    arch_width: int = 256
     # Blender near/far: the fork hardcodes 1/200 behind an interactive gate
     # (datasets/blender.py:40-44); upstream uses 2/6.  Configurable here.
     blender_near: float = 2.0
@@ -186,6 +193,9 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     # framework extensions
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype)
+    parser.add_argument("--arch_width", type=int, default=d.arch_width,
+                        help="NeRF trunk width W (default 256 = reference "
+                             "architecture; non-256 uses the XLA MLP path)")
     parser.add_argument("--blender_near", type=float, default=d.blender_near)
     parser.add_argument("--blender_far", type=float, default=d.blender_far)
     parser.add_argument("--white_back", type=lambda s: s.lower() == "true", default=None)

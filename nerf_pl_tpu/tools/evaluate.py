@@ -72,14 +72,26 @@ def load_models(ckpt_path: str):
     render garbage with no error)."""
     from ..training.checkpoints import extract_model_state_dict
 
+    def width_of(state: dict) -> int:
+        # --arch_width checkpoints carry their width in the weight shapes
+        # (trunk layer 0 is (in_xyz, W)); default 256 when absent so a
+        # coarse-only/partial artifact still errors on the merge assert
+        # rather than here
+        w = state.get("xyz_layers/0/w")
+        return int(w.shape[1]) if w is not None else 256
+
+    coarse_sd = extract_model_state_dict(ckpt_path, "coarse")
     params = {
         "coarse": load_ckpt_into(
-            init_nerf(jax.random.PRNGKey(0)), ckpt_path, "coarse"
+            init_nerf(jax.random.PRNGKey(0), W=width_of(coarse_sd)),
+            ckpt_path, "coarse",
         ),
     }
-    if extract_model_state_dict(ckpt_path, "fine"):
+    fine_sd = extract_model_state_dict(ckpt_path, "fine")
+    if fine_sd:
         params["fine"] = load_ckpt_into(
-            init_nerf(jax.random.PRNGKey(1)), ckpt_path, "fine"
+            init_nerf(jax.random.PRNGKey(1), W=width_of(fine_sd)),
+            ckpt_path, "fine",
         )
     return params
 

@@ -78,6 +78,63 @@ def test_multihost_flag_single_process(blender_root, tmp_path):
     assert system.mesh.devices.size >= 1
 
 
+def test_batched_val_program_matches_host_path(blender_root, tmp_path):
+    """The one-dispatch val program (round-4 pipelined fit) must agree with
+    the per-image host path on loss/PSNR (perturb=noise=0 so both are
+    deterministic)."""
+    import jax
+
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=8, N_importance=8, batch_size=8, num_epochs=1, chunk=256,
+        exp_name="bv", log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), num_sanity_val_steps=0,
+        perturb=0.0, noise_std=0.0,
+    )
+    system = NeRFSystem(cfg)
+    system._prepare_val_cache()
+    assert system._val_fn is not None
+    host = system.validation(epoch=0)
+    vloss, vpsnr, rgb0, depth0 = system._val_fn(
+        system.params, system._val_rays, system._val_rgbs,
+        jax.random.PRNGKey(7),
+    )
+    assert abs(float(np.mean(np.asarray(vloss))) - host["val/loss"]) < 1e-5
+    assert abs(float(np.mean(np.asarray(vpsnr))) - host["val/psnr"]) < 1e-3
+    assert np.asarray(rgb0).shape == (16 * 16, 3)
+    assert np.asarray(depth0).shape == (16 * 16,)
+
+
+def test_arch_width_variant_trains_and_reloads(blender_root, tmp_path):
+    """--arch_width builds a non-reference trunk width end to end: the
+    trainer inits (63, W) weights, the fused-kernel gate rejects them (XLA
+    path), the checkpoint round-trips, and load_models infers W from the
+    saved weight shapes (serving/eval need no flag)."""
+    import glob
+    import os
+
+    from nerf_pl_tpu.ops.fused_mlp import supports_fused
+    from nerf_pl_tpu.tools.evaluate import load_models
+
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=4, N_importance=4, batch_size=8, num_epochs=1, chunk=256,
+        exp_name="aw", log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), num_sanity_val_steps=0,
+        arch_width=32,
+    )
+    system = NeRFSystem(cfg)
+    assert np.asarray(system.params["coarse"]["xyz_layers"][0]["w"]).shape == (63, 32)
+    assert not supports_fused(system.params["coarse"])  # XLA fallback path
+    system.fit()
+    m = system.validation(epoch=0, max_images=1)
+    assert np.isfinite(m["val/psnr"])
+    ckpts = sorted(glob.glob(os.path.join(cfg.ckpt_dir, cfg.exp_name, "*.ckpt")))
+    assert ckpts
+    params = load_models(ckpts[-1])
+    assert np.asarray(params["fine"]["xyz_layers"][0]["w"]).shape == (63, 32)
+
+
 def test_loss_type_flag_is_honored(blender_root, tmp_path):
     cfg = Config(
         root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
@@ -136,9 +193,9 @@ def test_every_epoch_resumable_with_sparse_validation(blender_root, tmp_path):
     seen = []
     orig = system.save_ckpt
 
-    def spy(epoch, val_loss, filename=None):
+    def spy(epoch, val_loss, filename=None, **kw):
         seen.append((epoch, filename))
-        return orig(epoch, val_loss, filename=filename)
+        return orig(epoch, val_loss, filename=filename, **kw)
 
     system.save_ckpt = spy
     system.fit()
