@@ -89,6 +89,7 @@ def summarize(events, iters: int):
 
     per_op = {}
     lanes = set()
+    module_us = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -96,11 +97,19 @@ def summarize(events, iters: int):
         if not is_device_lane(pid, tid):
             continue
         tn = tid_names.get((pid, tid), "").lower()
-        # keep op-level lanes, not step/annotation aggregates
+        # keep op-level lanes, not step/annotation/whole-module aggregates
         if "step" in tn:
+            continue
+        if "module" in tn:
+            # whole-program span (one per dispatch) = the step-time anchor
+            module_us += float(e["dur"])
             continue
         lanes.add((pid_names.get(pid, ""), tid_names.get((pid, tid), "")))
         name = e["name"]
+        # the while-loop wrapper on the op lane nests every op below it —
+        # counting it would double the total
+        if name.startswith(("while", "jit_", "body")):
+            continue
         rec = per_op.setdefault(name, {"us": 0.0, "count": 0})
         rec["us"] += float(e["dur"])
         rec["count"] += 1
@@ -117,18 +126,21 @@ def summarize(events, iters: int):
             per_op.items(), key=lambda kv: -kv[1]["us"]
         )
     ]
-    return rows, total_us, sorted(lanes)
+    return rows, total_us, module_us, sorted(lanes)
 
 
 def bucket(rows):
-    """MLP-kernel vs everything else, by op name."""
+    """MLP-kernel vs everything else, by op name.  The fused Pallas MLP
+    custom-vjp shows up on the op lane as ``jvp__.N`` (differentiated
+    forward, stash-writing) and ``transpose_jvp___.N`` (stash backward)
+    spans; the searchsorted Pallas kernel keeps its jit name."""
     def kind(op):
         o = op.lower()
-        if "custom-call" in o or "custom_call" in o or "mosaic" in o or \
-                "fused_nerf" in o or "tpu_custom_call" in o:
-            return "pallas_mlp"
-        if any(k in o for k in ("sort", "searchsorted", "rank")):
+        if any(k in o for k in ("sort", "searchsorted", "rank", "sample")):
             return "sampling_sort"
+        if o.startswith(("jvp", "transpose_jvp")) or "mosaic" in o or \
+                "custom-call" in o or "custom_call" in o:
+            return "pallas_mlp"
         return "other_xla"
 
     agg = {}
@@ -145,34 +157,40 @@ def main():
     ap.add_argument("--trace_dir", default="/tmp/flagship_trace")
     ap.add_argument("--out", default="benchmarks/profile_flagship.json")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--parse_only", action="store_true",
+                    help="re-parse an existing trace_dir without rerunning")
     args = ap.parse_args()
 
     import jax
 
-    if jax.default_backend() == "tpu":
-        from nerf_pl_tpu.utils.profiling import enable_compilation_cache
+    if not args.parse_only:
+        if jax.default_backend() == "tpu":
+            from nerf_pl_tpu.utils.profiling import enable_compilation_cache
 
-        enable_compilation_cache()
-
-    os.makedirs(args.trace_dir, exist_ok=True)
-    iters = run_traced(args.iters, args.batch, args.trace_dir)
+            enable_compilation_cache()
+        os.makedirs(args.trace_dir, exist_ok=True)
+        run_traced(args.iters, args.batch, args.trace_dir)
+    iters = args.iters
     events = load_trace_events(args.trace_dir)
-    rows, total_us, lanes = summarize(events, iters)
+    rows, total_us, module_us, lanes = summarize(events, iters)
     out = {
         "backend": jax.default_backend(),
         "batch": args.batch,
         "iters": iters,
-        "device_total_us_per_step": round(total_us / max(iters, 1), 1),
+        "step_ms_from_module_span": round(module_us / max(iters, 1) / 1e3, 2),
+        "op_lane_total_us_per_step": round(total_us / max(iters, 1), 1),
         "lanes": [" / ".join(l) for l in lanes],
-        "buckets_us_total": {k: round(v, 1) for k, v in bucket(rows).items()},
+        "buckets_us_per_step": {
+            k: round(v / max(iters, 1), 1) for k, v in bucket(rows).items()
+        },
         "top_ops": rows[: args.top],
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
-                      ("backend", "device_total_us_per_step",
-                       "buckets_us_total")}))
-    print(f"wrote {args.out} ({len(rows)} ops, lanes={out['lanes'][:4]}...)")
+                      ("backend", "step_ms_from_module_span",
+                       "op_lane_total_us_per_step", "buckets_us_per_step")}))
+    print(f"wrote {args.out} ({len(rows)} ops)")
 
 
 if __name__ == "__main__":

@@ -34,13 +34,52 @@ def mlp_flops_per_point(W: int, D: int = 8, cx: int = 63, cd: int = 27) -> float
     return float(f)
 
 
-def bench_width(width: int, batch: int, iters: int, n_coarse=64, n_fine=128):
+def make_scan_steps(optimizer, compute_dtype, iters, remat_fine):
+    """bench.py's scan program + the --remat_fine escape hatch (wide
+    widths: the XLA path's f32 residuals at W>=1024 OOM without remat)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerf_pl_tpu.ops.rendering import render_rays
+
+    def loss_fn(params, rays, rgbs, key):
+        out = render_rays(
+            params["coarse"], params["fine"], rays, key,
+            N_samples=64, N_importance=128, perturb=1.0, noise_std=1.0,
+            white_back=True, compute_dtype=compute_dtype,
+            use_fused=jax.default_backend() == "tpu",
+            fused_channel_io=True, remat_fine=remat_fine,
+        )
+        return jnp.mean((out["rgb_coarse"] - rgbs) ** 2) + jnp.mean(
+            (out["rgb_fine"] - rgbs) ** 2
+        )
+
+    @jax.jit
+    def run(params, opt_state, rays, rgbs, key):
+        def body(carry, i):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, i)
+            loss, grads = jax.value_and_grad(loss_fn)(params, rays, rgbs, k)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(iters)
+        )
+        return params, opt_state, losses[-1]
+
+    return run
+
+
+def bench_width(width: int, batch: int, iters: int, n_coarse=64, n_fine=128,
+                remat_fine=False):
     import jax
     import jax.numpy as jnp
     import optax
 
     from __graft_entry__ import _make_rays
-    from bench import make_scan_steps
     from nerf_pl_tpu.models.nerf import init_nerf
 
     key = jax.random.PRNGKey(0)
@@ -50,7 +89,7 @@ def bench_width(width: int, batch: int, iters: int, n_coarse=64, n_fine=128):
     opt_state = optimizer.init(params)
     rays = _make_rays(jax.random.fold_in(key, 1), batch)
     rgbs = jax.random.uniform(jax.random.fold_in(key, 2), (batch, 3))
-    run = make_scan_steps(optimizer, jnp.bfloat16, iters)
+    run = make_scan_steps(optimizer, jnp.bfloat16, iters, remat_fine)
 
     p, o, loss = run(params, opt_state, rays, rgbs, jax.random.fold_in(key, 9))
     float(loss)
@@ -67,6 +106,8 @@ def bench_width(width: int, batch: int, iters: int, n_coarse=64, n_fine=128):
     model_tf = rays_s * pts_per_ray * 3 * mlp_flops_per_point(width) / 1e12
     return {
         "width": width,
+        "batch": batch,
+        "remat_fine": remat_fine,
         "rays_per_s": round(rays_s, 1),
         "pts_per_s": round(rays_s * pts_per_ray, 1),
         "model_tflops_fwd_bwd": round(model_tf, 1),
@@ -79,6 +120,7 @@ def main():
     ap.add_argument("--widths", type=int, nargs="+", default=[256, 512, 1024])
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--remat_fine", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -91,7 +133,12 @@ def main():
 
     rows = []
     for w in args.widths:
-        r = bench_width(w, args.batch, args.iters)
+        try:
+            r = bench_width(w, args.batch, args.iters,
+                            remat_fine=args.remat_fine)
+        except Exception as e:  # noqa: BLE001 — keep measuring other widths
+            r = {"width": w, "batch": args.batch,
+                 "error": f"{type(e).__name__}: {str(e)[:160]}"}
         rows.append(r)
         print(json.dumps(r), flush=True)
     if args.out:

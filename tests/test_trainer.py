@@ -105,6 +105,35 @@ def test_batched_val_program_matches_host_path(blender_root, tmp_path):
     assert np.asarray(depth0).shape == (16 * 16,)
 
 
+def test_val_cache_falls_back_on_mismatched_shapes(blender_root, tmp_path):
+    """A val set with per-image shapes (or a failing loader) must disable
+    the batched program and leave fit() on the host validation path."""
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=4, N_importance=0, batch_size=8, num_epochs=1, chunk=256,
+        exp_name="fb", log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), num_sanity_val_steps=0,
+    )
+    system = NeRFSystem(cfg)
+
+    class Ragged:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            n = 256 if i == 0 else 128
+            return {"rays": np.zeros((n, 8), np.float32),
+                    "rgbs": np.zeros((n, 3), np.float32)}
+
+    system.val_dataset = Ragged()
+    system._prepare_val_cache()
+    assert system._val_fn is None
+    # fit() must still complete on the host validation path (image 0 is
+    # img_wh-sized so the TB panel dump keeps working; image 1 is ragged)
+    system.fit()
+    assert system._val_fn is None
+
+
 def test_arch_width_variant_trains_and_reloads(blender_root, tmp_path):
     """--arch_width builds a non-reference trunk width end to end: the
     trainer inits (63, W) weights, the fused-kernel gate rejects them (XLA
