@@ -36,6 +36,7 @@ TPU-first redesign (vs the reference's Lightning loops):
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -84,6 +85,98 @@ def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
         use_fused=use_fused_for_backend(cfg),
         fused_channel_io=cfg.fused_channel_io,
     )
+
+
+# -- validation-path dispatch economy (round 4) -----------------------------
+# The val loops composite + score EAGERLY between the per-image whole-image
+# render dispatches; on the remote-tunneled TPU every eager op is its own
+# ~20 ms dispatch and every float() a blocking round trip.  Jitting the
+# composite and the metric pair — and deferring the scalar fetches to the
+# end of validation — leaves only the unavoidable render dispatches per
+# image.  The CPU mesh keeps the per-image hard sync (leaving a sharded
+# render in flight when the next multi-device program launches can deadlock
+# XLA:CPU's collective rendezvous, see trainer.py).
+
+_efficient_sm_val = jax.jit(
+    efficient_sm,
+    static_argnames=("image_shape", "fine_sampling", "light_has_fine",
+                     "shadow_method", "num_poses", "out_prefix"),
+)
+
+_shadow_mapping_images_val = jax.jit(
+    shadow_mapping_images,
+    static_argnames=("image_shape", "batch_size", "fine_sampling",
+                     "shadow_method"),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("typ",))
+def _val_scalars(out, rgbs, typ):
+    return mse_loss(out, rgbs), psnr_metric(out[f"rgb_{typ}"], rgbs)
+
+
+@functools.partial(jax.jit, static_argnames=("typ",))
+def _val_scalars_rgb_sm(out, rgbs, sms, rgb_w, sm_w, typ):
+    loss = rgb_w * mse_loss(out, rgbs) + sm_w * sm_loss(out, sms)
+    return (loss, psnr_metric(out[f"rgb_{typ}"], rgbs),
+            psnr_metric(out[f"sm_{typ}"], sms))
+
+
+def _sync_if_cpu(tree) -> None:
+    if jax.default_backend() == "cpu":
+        jax.block_until_ready(tree)
+
+
+def _light_rays_from_uv_fn(ul, vl, wh, l2w, light_focal, light_near,
+                           light_far):
+    """Light rays through integer light pixels (ul, vl) — the sampled-
+    light trick (reference ``train_light_sampler.py:168-181``).  Pure so
+    the train epoch programs AND the jitted val helpers share it."""
+    w, h = wh
+    dirs = jnp.stack(
+        [(ul - w / 2) / light_focal, -(vl - h / 2) / light_focal,
+         -jnp.ones_like(ul)], axis=-1,
+    )
+    rays_d = dirs @ l2w[:, :3].T
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.broadcast_to(l2w[:, 3], rays_d.shape)
+    nf = jnp.ones_like(rays_o[:, :1])
+    return jnp.concatenate(
+        [rays_o, rays_d, light_near * nf, light_far * nf], axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "fine"))
+def _ls_project(cam_res, pixels, cam_m, cam_eye, light_m, light_eye,
+                l2w, light_focal, light_near, light_far, wh, fine):
+    """Light-sampler val stage A: project every camera pixel into light
+    space and build rays through the (clamped, floored) light pixels —
+    ONE dispatch instead of an eager op chain between the two renders."""
+    w, h = wh
+    depth = cam_res["depth_fine"] if fine else cam_res["depth_coarse"]
+    pd_cam = jnp.concatenate([pixels, depth[:, None]], axis=1)
+    K = get_projections(cam_m, cam_eye, light_m, light_eye, pd_cam)
+    ul = jnp.floor(jnp.clip(K[:, 0], 0.0, w - 1.0))
+    vl = jnp.floor(jnp.clip(K[:, 1], 0.0, h - 1.0))
+    lrays = _light_rays_from_uv_fn(ul, vl, wh, l2w, light_focal,
+                                   light_near, light_far)
+    return K, ul, vl, lrays
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _ls_composite(K, ul, vl, light_depth, light_m, mode):
+    """Light-sampler val stage B: shadow map from the sampled light
+    depths (reference ``train_light_sampler.py:255-280``)."""
+    lpix = jnp.stack([ul + 0.5, vl + 0.5, jnp.ones_like(ul)], axis=1)
+    pd_light = jnp.concatenate([lpix, light_depth[:, None]], axis=1)
+    w_light = get_normed_w(light_m, pd_light)
+    return generate_shadow_map(K[:, 2], w_light[:, 3], mode=mode)
+
+
+def _fetch_means(*lists):
+    """Deferred scalar fetch: one device_get over everything collected."""
+    host = jax.device_get(lists)
+    return [float(np.mean(x)) for x in host]
 
 
 def _reject_per_host_data(cfg: Config, trainer_name: str) -> None:
@@ -556,7 +649,7 @@ class EfficientSMSystem(_ShadowSystemBase):
                         "depth_fine", light_res["depth_coarse"]
                     ),
                 }
-            out = efficient_sm(
+            out = _efficient_sm_val(
                 jnp.asarray(sample["pixels"]),
                 jnp.asarray(self.val_dataset.light.pixels),
                 cam_res,
@@ -565,19 +658,21 @@ class EfficientSMSystem(_ShadowSystemBase):
                 jnp.asarray(sample["ppc"]["eye_pos"]),
                 jnp.asarray(sample["light_ppc"]["camera"]),
                 jnp.asarray(sample["light_ppc"]["eye_pos"]),
-                tuple(cfg.img_wh),
+                image_shape=tuple(cfg.img_wh),
                 fine_sampling=cfg.N_importance > 0,
                 light_has_fine=cfg.N_importance > 0,
                 shadow_method=cfg.shadow_method,
             )
             rgbs = jnp.asarray(sample["rgbs"])
-            jax.block_until_ready((cam_res, out))  # see trainer.py
+            _sync_if_cpu((cam_res, out))
             typ = "fine" if "rgb_fine" in out else "coarse"
-            losses.append(float(mse_loss(out, rgbs)))
-            psnrs.append(float(psnr_metric(out[f"rgb_{typ}"], rgbs)))
+            loss_i, psnr_i = _val_scalars(out, rgbs, typ)
+            losses.append(loss_i)
+            psnrs.append(psnr_i)
             if i == 0:
                 self._dump_val_images(epoch, out, rgbs, typ)
-        return {"val/loss": float(np.mean(losses)), "val/psnr": float(np.mean(psnrs))}
+        loss, psnr = _fetch_means(losses, psnrs)
+        return {"val/loss": loss, "val/psnr": psnr}
 
 
 class RGBSMSystem(EfficientSMSystem):
@@ -812,31 +907,33 @@ class RGBSMSystem(EfficientSMSystem):
                         "depth_fine", light_res["depth_coarse"]
                     ),
                 }
-            out = efficient_sm(
+            out = _efficient_sm_val(
                 jnp.asarray(s["pixels"]), jnp.asarray(s["light_pixels"]),
                 cam_res, light_depths,
                 jnp.asarray(s["ppc"]["camera"]), jnp.asarray(s["ppc"]["eye_pos"]),
                 jnp.asarray(s["light_ppc"]["camera"]),
                 jnp.asarray(s["light_ppc"]["eye_pos"]),
-                tuple(cfg.img_wh), fine_sampling=cfg.N_importance > 0,
+                image_shape=tuple(cfg.img_wh), fine_sampling=cfg.N_importance > 0,
                 light_has_fine=cfg.N_importance > 0,
                 shadow_method=cfg.shadow_method, out_prefix="sm",
             )
             rgbs = jnp.asarray(s["rgbs"])
             sms = jnp.asarray(s["sm"])
-            jax.block_until_ready((cam_res, out))  # see trainer.py
+            _sync_if_cpu((cam_res, out))
             typ = "fine" if "rgb_fine" in out else "coarse"
-            losses.append(
-                float(cfg.rgb_weight * mse_loss(out, rgbs) + cfg.sm_weight * sm_loss(out, sms))
+            loss_i, psnr_i, sm_psnr_i = _val_scalars_rgb_sm(
+                out, rgbs, sms, cfg.rgb_weight, cfg.sm_weight, typ
             )
-            psnrs.append(float(psnr_metric(out[f"rgb_{typ}"], rgbs)))
-            sm_psnrs.append(float(psnr_metric(out[f"sm_{typ}"], sms)))
+            losses.append(loss_i)
+            psnrs.append(psnr_i)
+            sm_psnrs.append(sm_psnr_i)
             if i == 0:
                 self._dump_val_images(epoch, out, rgbs, typ)
+        loss, psnr, sm_psnr = _fetch_means(losses, psnrs, sm_psnrs)
         return {
-            "val/loss": float(np.mean(losses)),
-            "val/psnr": float(np.mean(psnrs)),
-            "val/sm_psnr": float(np.mean(sm_psnrs)),
+            "val/loss": loss,
+            "val/psnr": psnr,
+            "val/sm_psnr": sm_psnr,
         }
 
 
@@ -872,18 +969,10 @@ class LightSamplerSystem(_ShadowSystemBase):
         """Light rays through integer light pixels (ul, vl) — the sampled-
         light trick (reference ``train_light_sampler.py:168-181`` and the
         identical block in its ``validation_step``, ``:236-254``)."""
-        w, h = self.cfg.img_wh
         l2w, light_focal, light_near, light_far = self._light_geom()
-        dirs = jnp.stack(
-            [(ul - w / 2) / light_focal, -(vl - h / 2) / light_focal,
-             -jnp.ones_like(ul)], axis=-1,
-        )
-        rays_d = dirs @ l2w[:, :3].T
-        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        rays_o = jnp.broadcast_to(l2w[:, 3], rays_d.shape)
-        nf = jnp.ones_like(rays_o[:, :1])
-        return jnp.concatenate(
-            [rays_o, rays_d, light_near * nf, light_far * nf], axis=-1
+        return _light_rays_from_uv_fn(
+            ul, vl, tuple(self.cfg.img_wh), l2w, light_focal, light_near,
+            light_far,
         )
 
     def _epoch_fn(self):
@@ -1058,20 +1147,17 @@ class LightSamplerSystem(_ShadowSystemBase):
                 self.params, jnp.asarray(sample["rays"]), k1,
                 chunk=cfg.chunk, mesh=self.mesh, **rkw_cam,
             )
-            depth = cam_res["depth_fine"] if fine else cam_res["depth_coarse"]
-            pd_cam = jnp.concatenate(
-                [jnp.asarray(sample["pixels"]), jnp.asarray(depth)[:, None]],
-                axis=1,
-            )
-            K = get_projections(
+            l2w, light_focal, light_near, light_far = self._light_geom()
+            K, ul_i, vl_i, lrays = _ls_project(
+                {k: jnp.asarray(v) for k, v in cam_res.items()
+                 if k.startswith("depth")},
+                jnp.asarray(sample["pixels"]),
                 jnp.asarray(sample["ppc"]["camera"]),
                 jnp.asarray(sample["ppc"]["eye_pos"]),
                 light_m, jnp.asarray(self.train_dataset.light.eye_pos),
-                pd_cam,
+                l2w, light_focal, light_near, light_far,
+                wh=(w, h), fine=fine,
             )
-            ul_i = jnp.floor(jnp.clip(K[:, 0], 0.0, w - 1.0))
-            vl_i = jnp.floor(jnp.clip(K[:, 1], 0.0, h - 1.0))
-            lrays = self._light_rays_from_uv(ul_i, vl_i)
             light_res = render_image(
                 self.params, lrays, k2, chunk=cfg.chunk, mesh=self.mesh,
                 **rkw_light,
@@ -1080,27 +1166,23 @@ class LightSamplerSystem(_ShadowSystemBase):
                 light_res["depth_fine"] if light_n > 0
                 else light_res["depth_coarse"]
             )
-            lpix = jnp.stack(
-                [ul_i + 0.5, vl_i + 0.5, jnp.ones_like(ul_i)], axis=1
-            )
-            pd_light = jnp.concatenate(
-                [lpix, jnp.asarray(range_light)[:, None]], axis=1
-            )
-            w_light = get_normed_w(light_m, pd_light)
-            sm = generate_shadow_map(
-                K[:, 2], w_light[:, 3], mode=cfg.shadow_method
+            sm = _ls_composite(
+                K, ul_i, vl_i, jnp.asarray(range_light), light_m,
+                mode=cfg.shadow_method,
             )
             out = dict(cam_res)
             out["rgb_coarse"] = sm
             rgbs = jnp.asarray(sample["rgbs"])
-            jax.block_until_ready((out["rgb_coarse"],))  # see trainer.py
-            losses.append(float(mse_loss(out, rgbs)))
-            psnrs.append(float(psnr_metric(out["rgb_coarse"], rgbs)))
+            _sync_if_cpu((out["rgb_coarse"],))
+            loss_i, psnr_i = _val_scalars(out, rgbs, "coarse")
+            losses.append(loss_i)
+            psnrs.append(psnr_i)
             if i == 0:
                 self._dump_val_images(epoch, out, rgbs, "coarse")
+        loss, psnr = _fetch_means(losses, psnrs)
         return {
-            "val/loss": float(np.mean(losses)),
-            "val/psnr": float(np.mean(psnrs)),
+            "val/loss": loss,
+            "val/psnr": psnr,
         }
 
 
@@ -1303,28 +1385,30 @@ class ShadowMappingSystem:
                     for k, v in light_res.items()
                     if k.startswith("depth")
                 }
-            out = shadow_mapping_images(
+            out = _shadow_mapping_images_val(
                 {k: jnp.asarray(v) for k, v in cam_res.items()},
                 light_depths,
                 jnp.asarray(sample["ppc"]["camera"])[None],
                 jnp.asarray(sample["ppc"]["eye_pos"])[None],
-                self.light_m, self.light_eye, tuple(cfg.img_wh),
+                self.light_m, self.light_eye, image_shape=tuple(cfg.img_wh),
                 batch_size=1, fine_sampling=fine,
                 shadow_method=cfg.shadow_method,
             )
             rgbs = jnp.asarray(sample["rgbs"])
-            jax.block_until_ready(out)
+            _sync_if_cpu(out)
             typ = "fine" if "rgb_fine" in out else "coarse"
-            losses.append(float(mse_loss(out, rgbs)))
-            psnrs.append(float(psnr_metric(out[f"rgb_{typ}"], rgbs)))
+            loss_i, psnr_i = _val_scalars(out, rgbs, typ)
+            losses.append(loss_i)
+            psnrs.append(psnr_i)
             if i == 0:
                 dump_val_images(
                     self.logger, cfg, epoch * self.steps_per_epoch, epoch,
                     out, rgbs, typ,
                 )
+        loss, psnr = _fetch_means(losses, psnrs)
         return {
-            "val/loss": float(np.mean(losses)),
-            "val/psnr": float(np.mean(psnrs)),
+            "val/loss": loss,
+            "val/psnr": psnr,
         }
 
     def fit(self):
