@@ -76,33 +76,39 @@ def pack_params(params, compute_dtype=jnp.bfloat16):
         return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
 
     layers = params["xyz_layers"]
+    # width derived from the weights so the SAME packing serves the
+    # reference W=256 and the --arch_width wide-inference variants (the
+    # body/kernels are shape-polymorphic; only the padding tables here and
+    # in unpack_grads encode W)
+    w_ = layers[0]["w"].shape[1]
+    wh_ = params["dir_layer"]["w"].shape[1]
     p = {}
-    # layer 0: (63, 256) -> (128, 256); the dir lanes (63..89) get zero rows
-    p["w0"] = pad(layers[0]["w"], CIN, W)
-    # layers 1..7; the skip layer takes [x_tile(128) | h(256)] -> (384, 256)
+    # layer 0: (63, W) -> (128, W); the dir lanes (63..89) get zero rows
+    p["w0"] = pad(layers[0]["w"], CIN, w_)
+    # layers 1..7; the skip layer takes [x_tile(128) | h(W)] -> (128+W, W)
     for i in range(1, D):
         wi = layers[i]["w"]
         if i == SKIP:
             # reference concat([input_xyz, h]): first 63 rows are xyz
-            top = pad(wi[:CX], CIN, W)
+            top = pad(wi[:CX], CIN, w_)
             bot = wi[CX:].astype(f32)
-            p[f"w{i}"] = jnp.concatenate([top, bot], axis=0)  # (384, 256)
+            p[f"w{i}"] = jnp.concatenate([top, bot], axis=0)  # (128+W, W)
         else:
             p[f"w{i}"] = wi.astype(f32)
     for i in range(D):
-        p[f"b{i}"] = layers[i]["b"].astype(f32)[None, :]  # (1, 256)
+        p[f"b{i}"] = layers[i]["b"].astype(f32)[None, :]  # (1, W)
     # heads
-    p["wsig"] = pad(params["sigma"]["w"], W, CIN)  # (256, 128) col 0 live
+    p["wsig"] = pad(params["sigma"]["w"], w_, CIN)  # (W, 128) col 0 live
     p["bsig"] = jnp.pad(params["sigma"]["b"].astype(f32), (0, CIN - 1))[None, :]
-    p["wfin"] = params["xyz_final"]["w"].astype(f32)  # (256, 256)
+    p["wfin"] = params["xyz_final"]["w"].astype(f32)  # (W, W)
     p["bfin"] = params["xyz_final"]["b"].astype(f32)[None, :]
-    # dir layer: rows = [final(256) | x_tile(128)]; live x rows are 63..89
-    wd = params["dir_layer"]["w"].astype(f32)  # (256+27, 128)
-    top = wd[:W]
-    dirpart = jnp.zeros((CIN, WH), f32).at[CX : CX + CD].set(wd[W:])
-    p["wdir"] = jnp.concatenate([top, dirpart], axis=0)  # (384, 128)
+    # dir layer: rows = [final(W) | x_tile(128)]; live x rows are 63..89
+    wd = params["dir_layer"]["w"].astype(f32)  # (W+27, W//2)
+    top = wd[:w_]
+    dirpart = jnp.zeros((CIN, wh_), f32).at[CX : CX + CD].set(wd[w_:])
+    p["wdir"] = jnp.concatenate([top, dirpart], axis=0)  # (W+128, W//2)
     p["bdir"] = params["dir_layer"]["b"].astype(f32)[None, :]
-    p["wrgb"] = pad(params["rgb"]["w"], WH, CIN)  # (128, 128) cols 0..2 live
+    p["wrgb"] = pad(params["rgb"]["w"], wh_, CIN)  # (W//2, 128) cols 0..2 live
     p["brgb"] = jnp.pad(params["rgb"]["b"].astype(f32), (0, CIN - 3))[None, :]
     return {k: v.astype(compute_dtype) if k.startswith("w") else v
             for k, v in p.items()}
@@ -110,6 +116,7 @@ def pack_params(params, compute_dtype=jnp.bfloat16):
 
 def unpack_grads(g, params):
     """Padded-operand grads -> NeRF param pytree grads (slice the padding)."""
+    w_ = params["xyz_layers"][0]["w"].shape[1]
     layers = []
     for i in range(D):
         gw = g[f"w{i}"]
@@ -120,7 +127,7 @@ def unpack_grads(g, params):
         layers.append({"w": gw.astype(jnp.float32),
                        "b": g[f"b{i}"][0].astype(jnp.float32)})
     gwd = g["wdir"]
-    gwd = jnp.concatenate([gwd[:W], gwd[W + CX : W + CX + CD]], axis=0)
+    gwd = jnp.concatenate([gwd[:w_], gwd[w_ + CX : w_ + CX + CD]], axis=0)
     return {
         "xyz_layers": layers,
         "sigma": {"w": g["wsig"][:, :1].astype(jnp.float32),
@@ -429,6 +436,53 @@ def supports_fused(params) -> bool:
         )
     except (KeyError, TypeError, IndexError):
         return False
+
+
+# VMEM budget for the wide-inference path: packed weights + one block's
+# activations must fit the ~16 MB scoped VMEM with headroom for Mosaic's
+# working set.  W=512 weights pack to ~5.3 MB bf16; W=640 is the practical
+# ceiling for resident weights.
+_WIDE_WEIGHT_BUDGET = 9 << 20
+
+
+def _packed_weight_bytes(w: int, itemsize: int = 2) -> int:
+    wh = w // 2
+    rows = CIN * w + (D - 2) * w * w + (CIN + w) * w  # trunk incl. skip
+    rows += w * CIN + w * w + (w + CIN) * wh + wh * CIN  # heads
+    return rows * itemsize
+
+
+def supports_fused_wide(params) -> bool:
+    """--arch_width variants the fused FORWARD can run: reference topology
+    (8 layers, skip@4, 63/27 in-channels, W//2 dir head) at a lane-aligned
+    width whose resident weights fit the VMEM budget.  INFERENCE ONLY —
+    the remat backward keeps all activations + f32 weight grads in VMEM,
+    which scales W² and exceeds VMEM past W=256; differentiating the wide
+    path fails loudly at compile instead of silently spilling."""
+    try:
+        layers = params["xyz_layers"]
+        w_ = int(layers[0]["w"].shape[1])
+        return (
+            len(layers) == D
+            and w_ % 128 == 0
+            and w_ != W
+            and layers[0]["w"].shape == (CX, w_)
+            and layers[SKIP]["w"].shape == (w_ + CX, w_)
+            and params["dir_layer"]["w"].shape == (w_ + CD, w_ // 2)
+            and _packed_weight_bytes(w_) <= _WIDE_WEIGHT_BUDGET
+        )
+    except (KeyError, TypeError, IndexError):
+        return False
+
+
+def wide_block_for(w: int) -> int:
+    """Forward point-block for a wide trunk: largest block whose live
+    activations (h + skip-concat + x, f32) fit beside the weights."""
+    budget = (13 << 20) - _packed_weight_bytes(w)
+    for block in (2048, 1024, 512, 256, 128):
+        if block * (CIN + 3 * w) * 4 <= budget:
+            return block
+    return 128
 
 
 def fused_nerf_apply(

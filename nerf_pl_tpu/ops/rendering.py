@@ -34,9 +34,12 @@ from ..models.nerf import nerf_apply
 from .compositing import composite, compute_weights
 from .fused_mlp import (
     RAW_COLS,
+    fused_nerf_apply,
     fused_nerf_apply_raw,
     fused_nerf_apply_raw_t,
     supports_fused,
+    supports_fused_wide,
+    wide_block_for,
 )
 from .sampling import perturb_z_vals, sample_pdf, stratified_z_vals
 
@@ -53,6 +56,7 @@ def _query(
     use_fused: bool = False,
     dir_freqs: int = 4,
     fused_channel_io: bool = False,
+    fused_wide_infer: bool = False,
 ):
     """Embed positions and run the MLP on the flattened point batch.
 
@@ -71,6 +75,30 @@ def _query(
     # sigma-only queries never consume dirs, so dir_freqs doesn't gate them
     fused = (use_fused and supports_fused(params) and xyz_freqs == 10
              and (sigma_only or dir_freqs == 4))
+    # --arch_width wide trunks: the resident-weights kernel still fits VMEM
+    # up to W=640, but its remat backward does not — so the wide fused path
+    # is opt-in for KNOWN-forward-only callers (eval/serving, tools/render)
+    # via ``fused_wide_infer``; training at wide widths stays on XLA
+    wide = (use_fused and fused_wide_infer and not fused
+            and xyz_freqs == 10 and (sigma_only or dir_freqs == 4)
+            and supports_fused_wide(params))
+    if wide:
+        w_ = params["xyz_layers"][0]["w"].shape[1]
+        x_emb = posenc(xyz_flat, xyz_freqs)
+        if not sigma_only:
+            dir_emb = posenc(dirs, dir_freqs)
+            dir_emb = jnp.broadcast_to(
+                dir_emb[:, None, :], (N_rays, S, dir_emb.shape[-1])
+            ).reshape(N_rays * S, -1)
+            x_emb = jnp.concatenate([x_emb, dir_emb], axis=-1)
+        out = fused_nerf_apply(
+            params, x_emb, sigma_only=sigma_only,
+            compute_dtype=compute_dtype, block=wide_block_for(w_),
+        )
+        if sigma_only:
+            return out.reshape(N_rays, S), None
+        out = out.reshape(N_rays, S, 4)
+        return out[..., 3], out[..., :3]
     if fused and fused_channel_io:
         P = N_rays * S
         xyz_t = jnp.moveaxis(xyz, -1, 0).reshape(3, P)
@@ -141,6 +169,7 @@ def render_rays(
     compute_dtype=jnp.float32,
     use_fused: bool = False,
     fused_channel_io: bool = False,
+    fused_wide_infer: bool = False,
     remat_fine: bool = False,
     overrides: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Results:
@@ -196,7 +225,7 @@ def render_rays(
     sigmas_c, rgbs_c = _query(
         params_coarse, xyz_coarse, dirs_for_query, xyz_freqs,
         coarse_sigma_only, compute_dtype, use_fused, dir_freqs,
-        fused_channel_io,
+        fused_channel_io, fused_wide_infer,
     )
     weights_coarse = compute_weights(
         sigmas_c, z_vals, rays_d, noise_std, key=k_noise_c,
@@ -234,7 +263,7 @@ def render_rays(
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         fine_query = lambda p, x, d: _query(  # noqa: E731 — closure for remat
             p, x, d, xyz_freqs, sigma_mode, compute_dtype, use_fused,
-            dir_freqs, fused_channel_io,
+            dir_freqs, fused_channel_io, fused_wide_infer,
         )
         if remat_fine:
             # trade FLOPs for HBM: recompute the fine MLP activations in the

@@ -85,6 +85,12 @@ def render_image(
     # it on whenever the fused kernel runs, unless the caller overrode it
     if render_kwargs.get("use_fused"):
         render_kwargs.setdefault("fused_channel_io", True)
+        # NOTE --arch_width wide trunks stay on the XLA path even here
+        # (forward-only): the generalized resident-weights kernel measured
+        # 93.4k vs XLA's 112.0k rays/s at W=512 eval on chip — at wide
+        # widths XLA's chain already runs ~132 TF/s, above the W=256 chain
+        # ceiling, so the kernel's HBM savings no longer pay (docs/
+        # results.md round 4).  Opt in explicitly with fused_wide_infer.
     n = rays.shape[0]
     d = 1 if mesh is None else mesh.devices.size
     chunk, n_chunks, n_pad = plan_chunks(n, chunk, d)

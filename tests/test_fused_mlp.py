@@ -294,3 +294,77 @@ def test_transposed_io_matches_row_major(setup):
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
                 )
+
+
+# -- wide-width inference path (round 4, --arch_width) -----------------------
+
+
+def test_supports_fused_wide_gating():
+    from nerf_pl_tpu.ops.fused_mlp import supports_fused_wide, wide_block_for
+
+    k = jax.random.PRNGKey(3)
+    assert not supports_fused_wide(init_nerf(k))           # 256 = base path
+    assert supports_fused_wide(init_nerf(k, W=512))
+    assert not supports_fused_wide(init_nerf(k, W=320))    # not lane-aligned
+    assert not supports_fused_wide(init_nerf(k, W=1024))   # weights > VMEM
+    assert wide_block_for(512) in (2048, 1024, 512, 256, 128)
+    assert wide_block_for(640) <= wide_block_for(512)
+
+
+def test_wide_forward_parity_interpret():
+    """W=512 fused forward (interpret mode) vs nerf_apply, rgb and sigma."""
+    k = jax.random.PRNGKey(4)
+    p = init_nerf(k, W=512)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (192, 90)) * 0.5
+    ref = np.asarray(nerf_apply(p, x))
+    got = np.asarray(
+        fused_nerf_apply(p, x, compute_dtype=jnp.float32, block=64,
+                         interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    refs = np.asarray(nerf_apply(p, x[:, :63], sigma_only=True))
+    gots = np.asarray(
+        fused_nerf_apply(p, x[:, :63], sigma_only=True,
+                         compute_dtype=jnp.float32, block=64, interpret=True)
+    )
+    np.testing.assert_allclose(gots, refs, rtol=2e-4, atol=2e-4)
+
+
+def test_render_rays_wide_infer_matches_unfused():
+    """render_rays with fused_wide_infer routes W=512 through the fused
+    forward and matches the XLA path (deterministic settings)."""
+    from nerf_pl_tpu.ops import rendering as R
+
+    k = jax.random.PRNGKey(5)
+    pc, pf = init_nerf(k, W=512), init_nerf(jax.random.fold_in(k, 1), W=512)
+    rays = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.fold_in(k, 2), (16, 3)) * 0.1,
+            jax.random.normal(jax.random.fold_in(k, 3), (16, 3)),
+            jnp.full((16, 1), 2.0), jnp.full((16, 1), 6.0),
+        ],
+        axis=1,
+    )
+    base = R.render_rays(
+        pc, pf, rays, None, N_samples=8, N_importance=8, perturb=0.0,
+        noise_std=0.0, use_fused=False,
+    )
+    # patch the interpret flag through by running the wide kernel in
+    # interpret mode on CPU: route via _query's wide branch with a
+    # monkeypatched fused_nerf_apply
+    import nerf_pl_tpu.ops.rendering as rmod
+
+    orig = rmod.fused_nerf_apply
+    rmod.fused_nerf_apply = functools.partial(orig, interpret=True)
+    try:
+        wide = R.render_rays(
+            pc, pf, rays, None, N_samples=8, N_importance=8, perturb=0.0,
+            noise_std=0.0, use_fused=True, fused_wide_infer=True,
+        )
+    finally:
+        rmod.fused_nerf_apply = orig
+    for key in base:
+        np.testing.assert_allclose(
+            np.asarray(wide[key]), np.asarray(base[key]), rtol=2e-4,
+            atol=2e-4, err_msg=key,
+        )
