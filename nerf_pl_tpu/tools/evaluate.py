@@ -84,14 +84,14 @@ def load_models(ckpt_path: str):
     params = {
         "coarse": load_ckpt_into(
             init_nerf(jax.random.PRNGKey(0), W=width_of(coarse_sd)),
-            ckpt_path, "coarse",
+            ckpt_path, "coarse", loaded=coarse_sd,
         ),
     }
     fine_sd = extract_model_state_dict(ckpt_path, "fine")
     if fine_sd:
         params["fine"] = load_ckpt_into(
             init_nerf(jax.random.PRNGKey(1), W=width_of(fine_sd)),
-            ckpt_path, "fine",
+            ckpt_path, "fine", loaded=fine_sd,
         )
     return params
 

@@ -258,35 +258,42 @@ def moments_from_torch_opt(
     # RAdam adds 'buffer' (utils/optimizers.py:23), its AdamW adds
     # 'warmup' (:185), Ranger adds 'alpha'/'k'/'step_counter' (:285), and
     # SGD has 'momentum'/'nesterov' and no exp_avg at all.
-    g0 = opt_sd["param_groups"][0]
-    for marker, name in (("alpha", "ranger"), ("buffer", "radam"),
-                         ("warmup", "adamw"), ("momentum", "sgd")):
-        if marker in g0:
+    # every group must pass — the state import below gathers param ids from
+    # ALL groups, so a marker/amsgrad/weight_decay on group 1+ (e.g. the
+    # reference's coarse/fine models in separate groups) matters as much as
+    # on group 0
+    for gi, g0 in enumerate(opt_sd["param_groups"]):
+        for marker, name in (("alpha", "ranger"), ("buffer", "radam"),
+                             ("warmup", "adamw"), ("momentum", "sgd")):
+            if marker in g0:
+                raise ValueError(
+                    f"optimizer_states look like the reference's {name!r} "
+                    "optimizer — only --optimizer adam states map onto the "
+                    "optax chain; re-import without --full_state "
+                    "(weights-only)"
+                )
+        if "amsgrad" not in g0:
             raise ValueError(
-                f"optimizer_states look like the reference's {name!r} "
-                "optimizer — only --optimizer adam states map onto the "
-                "optax chain; re-import without --full_state (weights-only)"
+                "optimizer_states are not a torch Adam state_dict (no "
+                "'amsgrad' group key) — only --optimizer adam migrates; "
+                "re-import without --full_state (weights-only)"
             )
-    if "amsgrad" not in g0:
-        raise ValueError(
-            "optimizer_states are not a torch Adam state_dict (no 'amsgrad' "
-            "group key) — only --optimizer adam migrates; re-import without "
-            "--full_state (weights-only)"
-        )
-    if g0.get("amsgrad"):
-        raise ValueError(
-            "amsgrad=True Adam states carry max_exp_avg_sq, which optax "
-            "scale_by_adam has no slot for — re-import without --full_state"
-        )
-    if g0.get("weight_decay") not in (None, 0, 0.0):
-        # the resumed optax chain has no coupled-L2 term; importing silently
-        # would change the continued-training trajectory without warning
-        raise ValueError(
-            f"source Adam ran with weight_decay={g0['weight_decay']} — the "
-            "optax adam chain we resume into applies no coupled L2, so the "
-            "continued trajectory would diverge; re-import without "
-            "--full_state (weights-only)"
-        )
+        if g0.get("amsgrad"):
+            raise ValueError(
+                "amsgrad=True Adam states carry max_exp_avg_sq, which optax "
+                "scale_by_adam has no slot for — re-import without "
+                "--full_state"
+            )
+        if g0.get("weight_decay") not in (None, 0, 0.0):
+            # the resumed optax chain has no coupled-L2 term; importing
+            # silently would change the continued-training trajectory
+            raise ValueError(
+                f"source Adam param_group {gi} ran with "
+                f"weight_decay={g0['weight_decay']} — the optax adam chain "
+                "we resume into applies no coupled L2, so the continued "
+                "trajectory would diverge; re-import without --full_state "
+                "(weights-only)"
+            )
     ids = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
     state = opt_sd["state"]
     # torch state_dict keys may arrive as ints or (through round-trips) strs

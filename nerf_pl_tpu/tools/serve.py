@@ -370,23 +370,21 @@ def make_handler(service: RenderService):
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/healthz":
-                self._send(
-                    200,
-                    json.dumps(
-                        {
-                            "status": "ok",
-                            "renders": service.renders,
-                            "batches": service.batches,
-                            "batch_tiers": {
-                                str(k): v
-                                for k, v in sorted(
-                                    service.batch_tiers.items()
-                                )
-                            },
-                        }
-                    ).encode(),
-                    "application/json",
-                )
+                with service._lock:
+                    # dispatcher threads insert new tiers under this lock;
+                    # iterating unsynchronized can raise mid-handler
+                    tiers = dict(service.batch_tiers)
+                body = json.dumps(
+                    {
+                        "status": "ok",
+                        "renders": service.renders,
+                        "batches": service.batches,
+                        "batch_tiers": {
+                            str(k): v for k, v in sorted(tiers.items())
+                        },
+                    }
+                ).encode()
+                self._send(200, body, "application/json")
                 return
             if url.path == "/render":
                 q = parse_qs(url.query)

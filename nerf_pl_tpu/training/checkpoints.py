@@ -93,10 +93,19 @@ def load_ckpt_into(
     ckpt_path: str,
     model_name: str = "coarse",
     prefixes_to_ignore: Sequence[str] = (),
+    loaded: Optional[Dict[str, np.ndarray]] = None,
 ) -> Any:
     """Non-strict merge of a checkpoint's ``model_name`` weights into a live
-    param pytree (reference ``load_ckpt``, ``utils/__init__.py:72-76``)."""
-    loaded = extract_model_state_dict(ckpt_path, model_name, prefixes_to_ignore)
+    param pytree (reference ``load_ckpt``, ``utils/__init__.py:72-76``).
+
+    ``loaded`` short-circuits the file read with an already-extracted flat
+    state dict (callers that inspected the checkpoint first — e.g. width
+    inference in ``tools.evaluate.load_models`` — avoid re-parsing the
+    whole msgpack per model)."""
+    if loaded is None:
+        loaded = extract_model_state_dict(
+            ckpt_path, model_name, prefixes_to_ignore
+        )
 
     def merge(tree, prefix=""):
         if isinstance(tree, dict):

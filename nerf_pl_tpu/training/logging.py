@@ -50,11 +50,13 @@ class RunLogger:
                 self._tb = None
 
     def scalars(self, step: int, values: Dict[str, float]) -> None:
-        if not self._jsonl:
-            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in values.items()})
+        # sink checks happen INSIDE the lock: close() nulls them under it,
+        # so a check-then-use outside would race the writer thread
         with self._lock:
+            if not self._jsonl:
+                return
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
             if self._tb:
@@ -63,8 +65,8 @@ class RunLogger:
 
     def images(self, step: int, tag: str, images: np.ndarray) -> None:
         """images: (N, 3, H, W) float in [0, 1]."""
-        if self._tb:
-            with self._lock:
+        with self._lock:
+            if self._tb:
                 self._tb.add_images(tag, np.asarray(images), int(step))
 
     def close(self) -> None:

@@ -640,8 +640,10 @@ class NeRFSystem:
 
         def preempt_save():
             # flush pending background writes first (ordered), then save
-            # synchronously — the process dies right after this returns
-            self._writer.drain()
+            # synchronously — the process dies right after this returns.
+            # BOUNDED drain: the handler runs on the main thread, which may
+            # hold a lock a queued write needs (io_async.AsyncWriter.drain)
+            self._writer.drain(timeout=5.0)
             self.save_ckpt(self._last_epoch, None, filename="preempt.ckpt",
                            background=False)
 
@@ -705,18 +707,31 @@ class NeRFSystem:
                 or epoch == cfg.num_epochs - 1
             )
             val_out = None
-            if do_val and self._val_fn is not None:
-                self.rng, vk = jax.random.split(self.rng)
-                val_out = self._val_fn(
-                    self.params, self._val_rays, self._val_rgbs, vk
-                )
-            # snapshot for the (deferred) checkpoint write NOW: by finalize
-            # time self.params already holds the NEXT epoch's weights
+            host_val = None
+            if do_val:
+                if self._val_fn is not None:
+                    self.rng, vk = jax.random.split(self.rng)
+                    val_out = self._val_fn(
+                        self.params, self._val_rays, self._val_rgbs, vk
+                    )
+                else:
+                    # host-path fallback must run NOW, on epoch k's weights —
+                    # by finalize time self.params holds epoch k+1's params
+                    # and the metrics/ckpt ranking would be misattributed
+                    host_val = self.validation(epoch)
+            # snapshot for the (deferred) checkpoint write NOW, same reason
             snap = self._snap_fn((self.params, self.opt_state))
+            if jax.default_backend() == "cpu":
+                # XLA:CPU's 40 s collective-rendezvous watchdog hard-aborts
+                # when a virtual-device thread starves; never leave this
+                # epoch's collective programs in flight while dispatching
+                # the next (same constraint as validation()'s hard sync).
+                # The snapshot is queued last, so it doubles as a barrier.
+                jax.block_until_ready(snap)
             if pending is not None:
                 self._finalize_epoch(*pending)
             pending = (epoch, global_step, losses, psnrs, do_val, val_out,
-                       snap, t0)
+                       host_val, snap, t0)
         if pending is not None:
             self._finalize_epoch(*pending)
         self._writer.drain()  # all checkpoints on disk before returning
@@ -724,7 +739,7 @@ class NeRFSystem:
         return self.params
 
     def _finalize_epoch(self, epoch, global_step, losses, psnrs, do_val,
-                        val_out, snap, t0):
+                        val_out, host_val, snap, t0):
         """Fetch + log + checkpoint one (already-dispatched) epoch.  Runs
         one epoch behind the dispatch loop; ``dt`` therefore measures the
         full dispatch-to-results cycle — the honest sustained rate."""
@@ -765,7 +780,9 @@ class NeRFSystem:
                 }
                 self._submit_val_image_dump(epoch, rgb0, depth0)
             else:
-                val_metrics = self.validation(epoch)
+                # fallback path: computed at dispatch time in fit(), on the
+                # correct (epoch-k) weights
+                val_metrics = host_val
             self.logger.scalars(global_step, val_metrics)
             msg += (
                 f" | val loss {val_metrics['val/loss']:.5f} "

@@ -53,9 +53,26 @@ class AsyncWriter:
         self._check()
         self._q.put(fn)
 
-    def drain(self) -> None:
+    def drain(self, timeout: Optional[float] = None) -> None:
         """Block until every submitted write has finished; re-raise any
         failure.  Call before reading checkpoints back, at fit() exit, and
-        from the preemption handler."""
-        self._q.join()
+        from the preemption handler.
+
+        ``timeout`` (seconds) bounds the wait and returns without raising
+        when it expires.  The preemption handler MUST pass one: the SIGTERM
+        handler runs on the main thread between bytecodes, so if the signal
+        lands while that thread holds a lock a queued write needs (e.g.
+        RunLogger._lock inside ``scalars``), an unbounded join deadlocks
+        and the preempt checkpoint is never written — better to save a
+        resumable state with a write still pending than not at all."""
+        if timeout is None:
+            self._q.join()
+        else:
+            deadline = threading.Event()
+            waiter = threading.Thread(
+                target=lambda: (self._q.join(), deadline.set()), daemon=True
+            )
+            waiter.start()
+            if not deadline.wait(timeout):
+                return  # timed out — caller proceeds with pending writes
         self._check()

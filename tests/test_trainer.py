@@ -129,9 +129,27 @@ def test_val_cache_falls_back_on_mismatched_shapes(blender_root, tmp_path):
     system._prepare_val_cache()
     assert system._val_fn is None
     # fit() must still complete on the host validation path (image 0 is
-    # img_wh-sized so the TB panel dump keeps working; image 1 is ragged)
+    # img_wh-sized so the TB panel dump keeps working; image 1 is ragged) —
+    # and the fallback validation must run on epoch k's weights, i.e.
+    # BEFORE epoch k+1's program replaces self.params (review finding:
+    # running it at finalize time misattributes metrics + ckpt ranking)
+    system.cfg.num_epochs = 2
+    events = []
+    orig_val, orig_epoch = system.validation, system.epoch_fn
+
+    def spy_val(epoch, **kw):
+        events.append(("val", epoch))
+        return orig_val(epoch, **kw)
+
+    def spy_epoch(*a, **kw):
+        events.append(("epoch", None))
+        return orig_epoch(*a, **kw)
+
+    system.validation, system.epoch_fn = spy_val, spy_epoch
     system.fit()
     assert system._val_fn is None
+    # val(0) must land between the two epoch dispatches, not after both
+    assert events.index(("val", 0)) < events.index(("epoch", None), 1)
 
 
 def test_arch_width_variant_trains_and_reloads(blender_root, tmp_path):
