@@ -1453,17 +1453,19 @@ class ShadowMappingSystem:
                     self.rgbs[idx], self.cam_ms[idx], self.cam_eyes[idx],
                     self.light_tables, key,
                 )
-                losses.append(float(loss))
-                psnrs.append(float(psnr))
+                # keep device scalars: a float() here would pay one blocking
+                # tunnel round trip PER STEP; one device_get per epoch below
+                losses.append(loss)
+                psnrs.append(psnr)
             global_step += self.steps_per_epoch
+            losses, psnrs = _fetch_means(losses, psnrs)
             self.logger.scalars(
                 global_step,
-                {"train/loss": float(np.mean(losses)),
-                 "train/psnr": float(np.mean(psnrs))},
+                {"train/loss": losses, "train/psnr": psnrs},
             )
             msg = (
-                f"epoch {epoch}: loss {np.mean(losses):.5f} "
-                f"psnr {np.mean(psnrs):.2f} ({time.time()-t0:.1f}s)"
+                f"epoch {epoch}: loss {losses:.5f} "
+                f"psnr {psnrs:.2f} ({time.time()-t0:.1f}s)"
             )
             if (epoch + 1) % cfg.val_every_n_epochs == 0 or epoch == cfg.num_epochs - 1:
                 vm = self.validation(epoch)
