@@ -733,13 +733,13 @@ class NeRFSystem:
             pending = (epoch, global_step, losses, psnrs, do_val, val_out,
                        host_val, snap, t0)
         if pending is not None:
-            self._finalize_epoch(*pending)
+            self._finalize_epoch(*pending, last=True)
         self._writer.drain()  # all checkpoints on disk before returning
         self.logger.close()
         return self.params
 
     def _finalize_epoch(self, epoch, global_step, losses, psnrs, do_val,
-                        val_out, host_val, snap, t0):
+                        val_out, host_val, snap, t0, last=False):
         """Fetch + log + checkpoint one (already-dispatched) epoch.  Runs
         one epoch behind the dispatch loop; ``dt`` therefore measures the
         full dispatch-to-results cycle — the honest sustained rate."""
@@ -748,9 +748,15 @@ class NeRFSystem:
         psnrs = np.asarray(psnrs)
         # finalize-to-finalize wall time is the true pipelined cycle; the
         # dispatch timestamp t0 only bounds the FIRST finalize (which has
-        # no predecessor and includes compile)
+        # no predecessor and includes compile).  The LAST epoch's finalize
+        # runs immediately after its predecessor's (no next dispatch in
+        # between), so its cycle time would be near-zero and the printed
+        # rate absurd — report its dispatch-to-results span instead.
         now = time.time()
-        dt = now - max(t0, getattr(self, "_t_finalize", 0.0))
+        if last:
+            dt = now - t0
+        else:
+            dt = now - max(t0, getattr(self, "_t_finalize", 0.0))
         self._t_finalize = now
         rays_per_s = (
             self.steps_per_epoch
