@@ -35,3 +35,21 @@ def test_writer_error_surfaces_on_next_submit():
     with pytest.raises(RuntimeError):
         w.submit(lambda: None)
 
+
+
+def test_drain_timeout_returns_instead_of_deadlocking():
+    """The preemption handler drains with a timeout: a write blocked on a
+    resource the main thread holds must not deadlock the save."""
+    import threading
+    import time
+
+    from nerf_pl_tpu.utils.io_async import AsyncWriter
+
+    gate = threading.Event()
+    w = AsyncWriter(name="t-drain")
+    w.submit(gate.wait)  # blocks until we release it
+    t0 = time.monotonic()
+    w.drain(timeout=0.3)  # must return, not hang
+    assert time.monotonic() - t0 < 2.0
+    gate.set()
+    w.drain()  # now completes fully and re-raises nothing
