@@ -479,7 +479,11 @@ class EfficientSMSystem(_ShadowSystemBase):
             # (H*W,) light opacities with batch-derived indices
             # (train_efficient_sm.py:191, losses.py:40-42) — i.e. its first
             # B entries partitioned by the batch targets
-            b = rgbs.shape[0]
+            # clamp to the light view's H*W: with batch > H*W the reference
+            # would index its (H*W,) opacities out of bounds
+            # (train_efficient_sm.py:191) — score the first min(B, H*W)
+            # rows instead (logged-only term, never optimized)
+            b = min(rgbs.shape[0], light_depths["opacity_coarse"].shape[0])
             # the cache aliases opacity_fine = opacity_coarse when the light
             # render has no fine pass; include the fine term only when it is
             # a real fine render (reference adds it only when present,
@@ -487,7 +491,7 @@ class EfficientSMSystem(_ShadowSystemBase):
             op_in = {"opacity_coarse": light_depths["opacity_coarse"][:b]}
             if light_n > 0:
                 op_in["opacity_fine"] = light_depths["opacity_fine"][:b]
-            op_loss = opacity_loss(op_in, rgbs)
+            op_loss = opacity_loss(op_in, rgbs[:b])
             return loss, (psnr, op_loss)
 
         def device_epoch(

@@ -53,6 +53,20 @@ def test_efficient_sm_grad_on_light(shadow_root, tmp_path):
     system.fit()
 
 
+def test_efficient_sm_batch_larger_than_light_view(shadow_root, tmp_path):
+    """batch_size > the light view's H*W (8x8=64 here): the logged-only
+    opacity term must clamp to the light opacities' length instead of
+    broadcasting (64,) against (B,) — the reference would index its
+    (H*W,) opacities out of bounds in this configuration (round-4 on-chip
+    regression, caught by the --grad_on_light drive at 16² batch 512)."""
+    from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
+
+    cfg = _cfg(shadow_root, tmp_path / "big", batch_size=128, num_epochs=1,
+               num_devices=1)  # the tiny fixture has 192 rays total
+    system = EfficientSMSystem(cfg)
+    system.fit()
+
+
 def test_efficient_sm_validation(shadow_root, tmp_path):
     from nerf_pl_tpu.training.shadow_systems import EfficientSMSystem
 
