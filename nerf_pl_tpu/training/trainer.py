@@ -746,17 +746,17 @@ class NeRFSystem:
         cfg = self.cfg
         losses = np.asarray(losses)
         psnrs = np.asarray(psnrs)
-        # finalize-to-finalize wall time is the true pipelined cycle; the
-        # dispatch timestamp t0 only bounds the FIRST finalize (which has
-        # no predecessor and includes compile).  The LAST epoch's finalize
-        # runs immediately after its predecessor's (no next dispatch in
-        # between), so its cycle time would be near-zero and the printed
-        # rate absurd — report its dispatch-to-results span instead.
+        # finalize-to-finalize wall time is the true pipelined cycle — the
+        # MARGINAL wall cost of this epoch — for every epoch including the
+        # last (a near-zero final cycle honestly means the pipeline already
+        # absorbed that epoch's device time under earlier host work; using
+        # dispatch-to-now instead would double-count up to two cycles in
+        # the device-bound regime).  The dispatch timestamp t0 only bounds
+        # the FIRST finalize, which has no predecessor and includes
+        # compile.  ``last`` marks the post-loop finalize in the print so a
+        # fast final cycle is not misread as a throughput jump.
         now = time.time()
-        if last:
-            dt = now - t0
-        else:
-            dt = now - max(t0, getattr(self, "_t_finalize", 0.0))
+        dt = now - max(t0, getattr(self, "_t_finalize", 0.0))
         self._t_finalize = now
         rays_per_s = (
             self.steps_per_epoch
@@ -775,7 +775,8 @@ class NeRFSystem:
         )
         msg = (
             f"epoch {epoch}: loss {losses.mean():.5f} "
-            f"psnr {psnrs.mean():.2f} ({rays_per_s:,.0f} rays/s, {dt:.1f}s)"
+            f"psnr {psnrs.mean():.2f} ({rays_per_s:,.0f} rays/s, {dt:.1f}s"
+            f"{' marginal — pipeline drain' if last else ''})"
         )
         if do_val:
             if val_out is not None:
