@@ -452,14 +452,20 @@ def _packed_weight_bytes(w: int, itemsize: int = 2) -> int:
     return rows * itemsize
 
 
-def supports_fused_wide(params) -> bool:
+def supports_fused_wide(params, compute_dtype=jnp.bfloat16) -> bool:
     """--arch_width variants the fused FORWARD can run: reference topology
     (8 layers, skip@4, 63/27 in-channels, W//2 dir head) at a lane-aligned
     width whose resident weights fit the VMEM budget.  INFERENCE ONLY —
     the remat backward keeps all activations + f32 weight grads in VMEM,
     which scales W² and exceeds VMEM past W=256; differentiating the wide
-    path fails loudly at compile instead of silently spilling."""
+    path fails loudly at compile instead of silently spilling.
+
+    The weight budget is evaluated at the CALLER's ``compute_dtype``
+    (ADVICE r4): resident weights are packed in that dtype, so a float32
+    run doubles the bytes and must fall back to XLA at a smaller width
+    instead of failing at compile on chip."""
     try:
+        itemsize = jnp.dtype(compute_dtype).itemsize
         layers = params["xyz_layers"]
         w_ = int(layers[0]["w"].shape[1])
         return (
@@ -469,16 +475,17 @@ def supports_fused_wide(params) -> bool:
             and layers[0]["w"].shape == (CX, w_)
             and layers[SKIP]["w"].shape == (w_ + CX, w_)
             and params["dir_layer"]["w"].shape == (w_ + CD, w_ // 2)
-            and _packed_weight_bytes(w_) <= _WIDE_WEIGHT_BUDGET
+            and _packed_weight_bytes(w_, itemsize) <= _WIDE_WEIGHT_BUDGET
         )
     except (KeyError, TypeError, IndexError):
         return False
 
 
-def wide_block_for(w: int) -> int:
+def wide_block_for(w: int, compute_dtype=jnp.bfloat16) -> int:
     """Forward point-block for a wide trunk: largest block whose live
     activations (h + skip-concat + x, f32) fit beside the weights."""
-    budget = (13 << 20) - _packed_weight_bytes(w)
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    budget = (13 << 20) - _packed_weight_bytes(w, itemsize)
     for block in (2048, 1024, 512, 256, 128):
         if block * (CIN + 3 * w) * 4 <= budget:
             return block

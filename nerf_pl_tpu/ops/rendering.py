@@ -81,7 +81,7 @@ def _query(
     # via ``fused_wide_infer``; training at wide widths stays on XLA
     wide = (use_fused and fused_wide_infer and not fused
             and xyz_freqs == 10 and (sigma_only or dir_freqs == 4)
-            and supports_fused_wide(params))
+            and supports_fused_wide(params, compute_dtype))
     if wide:
         w_ = params["xyz_layers"][0]["w"].shape[1]
         x_emb = posenc(xyz_flat, xyz_freqs)
@@ -93,7 +93,7 @@ def _query(
             x_emb = jnp.concatenate([x_emb, dir_emb], axis=-1)
         out = fused_nerf_apply(
             params, x_emb, sigma_only=sigma_only,
-            compute_dtype=compute_dtype, block=wide_block_for(w_),
+            compute_dtype=compute_dtype, block=wide_block_for(w_, compute_dtype),
         )
         if sigma_only:
             return out.reshape(N_rays, S), None

@@ -481,22 +481,44 @@ class NeRFSystem:
 
         Falls back (``self._val_fn = None`` -> the per-image host path) when
         images differ in shape or the stacked buffers would not comfortably
-        fit beside the train buffers in HBM."""
+        fit beside the train buffers in HBM.  In a multi-process run the
+        enable decision is COLLECTIVE (all-hosts agreement on ok + shapes,
+        ADVICE r4): one host silently falling back while the others install
+        ``_val_fn`` would diverge both the collective program set and the
+        per-epoch rng split count in ``fit`` and hang the job."""
         self._val_fn = None
+        rays = rgbs = None
+        ok, n_img = False, 0
         try:
             n_img = len(self.val_dataset)
-            if n_img == 0:
-                return
-            samples = [self.val_dataset[i] for i in range(n_img)]
-            if len({np.asarray(s["rays"]).shape for s in samples}) != 1:
-                return
-            rays = np.stack([np.asarray(s["rays"], np.float32) for s in samples])
-            rgbs = np.stack([np.asarray(s["rgbs"], np.float32) for s in samples])
-            if rays.nbytes + rgbs.nbytes > self.VAL_CACHE_BYTES:
-                return
+            if n_img > 0:
+                samples = [self.val_dataset[i] for i in range(n_img)]
+                if len({np.asarray(s["rays"]).shape for s in samples}) == 1:
+                    rays = np.stack(
+                        [np.asarray(s["rays"], np.float32) for s in samples]
+                    )
+                    rgbs = np.stack(
+                        [np.asarray(s["rgbs"], np.float32) for s in samples]
+                    )
+                    ok = rays.nbytes + rgbs.nbytes <= self.VAL_CACHE_BYTES
         except Exception as e:  # noqa: BLE001 — cache is an optimization
             print(f"[val] batched val cache disabled: {type(e).__name__}: {e}",
                   flush=True)
+            ok = False
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            shape = rays.shape if ok else (0, 0, 0)
+            votes = multihost_utils.process_allgather(
+                np.array([int(ok), *shape], np.int64)
+            )
+            if not (votes == votes[0]).all() or not ok:
+                if ok:  # this host was fine; another vetoed — say so once
+                    print("[val] batched val cache disabled collectively "
+                          "(another host fell back or shapes differ)",
+                          flush=True)
+                return
+        elif not ok:
             return
         from jax.sharding import NamedSharding
 

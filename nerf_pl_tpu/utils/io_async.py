@@ -27,6 +27,12 @@ class AsyncWriter:
     def __init__(self, name: str = "io-writer"):
         self._q: "queue.Queue[Optional[Callable[[], None]]]" = queue.Queue()
         self._exc: Optional[BaseException] = None
+        # Own pending counter + condition instead of Queue.join(): a timed
+        # drain can then wait with a deadline directly, without spawning a
+        # throwaway waiter thread that would stay blocked in join() forever
+        # whenever the timeout fires first (ADVICE r4).
+        self._pending = 0
+        self._cond = threading.Condition()
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name=name
         )
@@ -41,7 +47,9 @@ class AsyncWriter:
             except BaseException as e:  # noqa: BLE001 — surfaced on submit
                 self._exc = e
             finally:
-                self._q.task_done()
+                with self._cond:
+                    self._pending -= 1
+                    self._cond.notify_all()
 
     def _check(self):
         if self._exc is not None:
@@ -51,6 +59,8 @@ class AsyncWriter:
     def submit(self, fn: Callable[[], None]) -> None:
         """Enqueue a write; raises if a PREVIOUS write failed."""
         self._check()
+        with self._cond:
+            self._pending += 1
         self._q.put(fn)
 
     def drain(self, timeout: Optional[float] = None) -> None:
@@ -58,21 +68,19 @@ class AsyncWriter:
         failure.  Call before reading checkpoints back, at fit() exit, and
         from the preemption handler.
 
-        ``timeout`` (seconds) bounds the wait and returns without raising
-        when it expires.  The preemption handler MUST pass one: the SIGTERM
-        handler runs on the main thread between bytecodes, so if the signal
-        lands while that thread holds a lock a queued write needs (e.g.
-        RunLogger._lock inside ``scalars``), an unbounded join deadlocks
-        and the preempt checkpoint is never written — better to save a
-        resumable state with a write still pending than not at all."""
-        if timeout is None:
-            self._q.join()
-        else:
-            deadline = threading.Event()
-            waiter = threading.Thread(
-                target=lambda: (self._q.join(), deadline.set()), daemon=True
+        ``timeout`` (seconds) bounds the wait; intended ONLY for the
+        preemption handler.  The SIGTERM handler runs on the main thread
+        between bytecodes, so if the signal lands while that thread holds a
+        lock a queued write needs (e.g. RunLogger._lock inside ``scalars``),
+        an unbounded join deadlocks and the preempt checkpoint is never
+        written — better to save a resumable state with a write still
+        pending than not at all.  A timed-out drain still re-raises any
+        failure from writes that DID complete before returning, so an
+        earlier background error cannot be swallowed by the timeout path."""
+        with self._cond:
+            done = self._cond.wait_for(
+                lambda: self._pending == 0, timeout=timeout
             )
-            waiter.start()
-            if not deadline.wait(timeout):
-                return  # timed out — caller proceeds with pending writes
         self._check()
+        if not done:
+            return  # timed out — caller proceeds with pending writes

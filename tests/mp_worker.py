@@ -246,6 +246,20 @@ def main():
     params = system.fit()
     digest = digest_of(params)
 
+    # --- collective val-cache decision (ADVICE r4) --------------------------
+    # one host failing to stack its val set must disable the batched val
+    # program on EVERY host — a per-host decision would diverge the
+    # collective program set and the rng split count in fit() and hang
+    assert system._val_fn is not None  # the healthy fit() installed it
+    if pid == 1:
+        class _Boom:
+            def __len__(self):
+                raise OSError("val load failed on this host")
+
+        system.val_dataset = _Boom()
+    system._prepare_val_cache()
+    assert system._val_fn is None, "val-cache fallback must be collective"
+
     # --- per-host data loading (pod-scale pipeline, SURVEY.md §7) -----------
     # each process loads only frames[pid::2]; with 3 train frames the raw
     # subsets are unbalanced (2 vs 1) and the loader wrap-pads the smaller

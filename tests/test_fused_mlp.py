@@ -309,6 +309,12 @@ def test_supports_fused_wide_gating():
     assert not supports_fused_wide(init_nerf(k, W=1024))   # weights > VMEM
     assert wide_block_for(512) in (2048, 1024, 512, 256, 128)
     assert wide_block_for(640) <= wide_block_for(512)
+    # f32 compute doubles resident weight bytes (ADVICE r4): W=640 fits the
+    # budget in bf16 but must fall back to XLA in float32 instead of failing
+    # at compile on chip; the block budget shrinks too.
+    assert supports_fused_wide(init_nerf(k, W=640))
+    assert not supports_fused_wide(init_nerf(k, W=640), jnp.float32)
+    assert wide_block_for(512, jnp.float32) <= wide_block_for(512)
 
 
 def test_wide_forward_parity_interpret():

@@ -53,3 +53,36 @@ def test_drain_timeout_returns_instead_of_deadlocking():
     assert time.monotonic() - t0 < 2.0
     gate.set()
     w.drain()  # now completes fully and re-raises nothing
+    # repeated timed-out drains must not accumulate waiter threads (ADVICE
+    # r4: the old implementation leaked one blocked daemon thread per call)
+    gate2 = threading.Event()
+    w.submit(gate2.wait)
+    before = threading.active_count()
+    for _ in range(5):
+        w.drain(timeout=0.05)
+    assert threading.active_count() <= before
+    gate2.set()
+    w.drain()
+
+
+def test_drain_timeout_still_surfaces_prior_failure():
+    """A timed-out drain must re-raise an error from a write that DID
+    complete — the timeout path cannot swallow it (ADVICE r4)."""
+    import threading
+
+    gate0 = threading.Event()
+    gate = threading.Event()
+    w = AsyncWriter(name="t-drain-err")
+
+    def failing():
+        gate0.wait()
+        raise ValueError("boom")
+
+    w.submit(failing)     # held until gate0 — both submits succeed
+    w.submit(gate.wait)   # keeps the queue non-empty past the timeout
+    gate0.set()
+    time.sleep(0.2)       # failure lands while gate.wait blocks
+    with pytest.raises(RuntimeError, match="background write failed"):
+        w.drain(timeout=0.2)
+    gate.set()
+    w.drain()
