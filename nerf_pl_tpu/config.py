@@ -93,6 +93,9 @@ class Config:
     num_devices: Optional[int] = None  # None -> all local devices
     multihost: bool = False  # call jax.distributed.initialize() at startup
     data_device_resident: bool = True  # keep the ray buffer in HBM
+    # host-streaming mode: optimizer steps per device dispatch.  16 was the
+    # round-3 default; swept 8/16/32/64 on hardware in round 5 (results.md)
+    stream_slab_steps: int = 16
     # pod-scale host data pipeline (SURVEY.md §7): each host loads only its
     # own image subset (frames[process_index::process_count]) and the global
     # buffer is assembled from per-process shards — no host ever holds the
@@ -207,6 +210,11 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
                         default=d.data_device_resident,
                         help="false = host-streaming mode through the "
                         "native C++ ray store (for buffers too big for HBM)")
+    parser.add_argument("--stream_slab_steps", type=int,
+                        default=d.stream_slab_steps,
+                        help="host-streaming mode: optimizer steps batched "
+                        "into one device dispatch (amortizes the ~20 ms "
+                        "remote-tunnel dispatch cost)")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host pod slice: jax.distributed."
                         "initialize() before building the device mesh")

@@ -121,13 +121,23 @@ class BatchingDispatcher:
     """
 
     def __init__(self, service: "RenderService", wh: int, max_batch: int,
-                 max_wait_ms: float):
+                 max_wait_ms: float, max_rays: int = 1 << 20):
         self.service = service
         self.wh = wh
-        self.max_batch = max_batch
+        # rays-per-dispatch cap (VERDICT r4 weak #1): a tier of b frames is
+        # a b*wh^2-ray device program.  Past the chip's roofline batch
+        # (~1M rays) coalescing buys zero throughput and multiplies p50 by
+        # b — at 800^2 a 4-frame tier is a 2.6M-ray dispatch measured
+        # SLOWER end-to-end than singles (benchmarks/serve_tpu_800.json).
+        # Large sizes therefore auto-degrade to the largest tier that fits
+        # the ray budget (never below 1).
+        eff = max_batch
+        while eff > 1 and eff * wh * wh > max_rays:
+            eff //= 2
+        self.max_batch = eff
         self.max_wait = max_wait_ms / 1000.0
-        self.tiers = [t for t in (1, 2, 4, 8, 16, 32, 64) if t < max_batch]
-        self.tiers.append(max_batch)
+        self.tiers = [t for t in (1, 2, 4, 8, 16, 32, 64) if t < eff]
+        self.tiers.append(eff)
         self.q: "queue.SimpleQueue[_Pending]" = queue.SimpleQueue()
         self._last_batch = 1  # adaptive: singles skip the straggler wait
         self._thread = threading.Thread(
@@ -145,27 +155,35 @@ class BatchingDispatcher:
         return item.out
 
     def _collect(self) -> list:
-        """First request blocks; stragglers join until the wait window
-        closes or the batch fills.
+        """First request blocks; stragglers join until the queue goes
+        QUIESCENT for ``max_wait`` (each arrival re-arms the window, hard-
+        capped at 4x) or the batch fills.
 
         Adaptive wait: under sequential load (previous batch was a single
         and nothing is queued behind this request) dispatch IMMEDIATELY —
         a lone client must not pay the straggler window on every request.
         The first request of a burst still goes out alone, but by the time
-        it returns the rest of the burst is queued and coalesces."""
+        it returns the rest of the burst is queued and coalesces.
+
+        The quiescence re-arm (round 5) targets the high-concurrency tail:
+        with C clients resubmitting as a batch fans out, a FIXED window
+        cuts the burst mid-arrival — the stragglers then wait a full extra
+        render cycle (p95 was 3.5x p50 at 16 clients,
+        benchmarks/serve_tpu_100.json).  Re-arming keeps collecting while
+        requests are still streaming in, so a burst lands in ONE tier."""
         batch = [self.q.get()]
         if self._last_batch <= 1 and self.q.empty():
             self._last_batch = 1
             return batch
-        deadline = time.monotonic() + self.max_wait
+        hard_deadline = time.monotonic() + 4 * self.max_wait
         while len(batch) < self.max_batch:
-            remaining = deadline - time.monotonic()
+            remaining = min(self.max_wait, hard_deadline - time.monotonic())
             if remaining <= 0:
                 break
             try:
                 batch.append(self.q.get(timeout=remaining))
             except queue.Empty:
-                break
+                break  # quiescent for max_wait: dispatch what we have
         self._last_batch = len(batch)
         return batch
 
@@ -199,7 +217,8 @@ class RenderService:
                  n_importance: int = 64, near: float = 2.0, far: float = 6.0,
                  camera_angle_x: float = 0.8, white_back: bool = True,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 compute_dtype: str = "auto"):
+                 compute_dtype: str = "auto",
+                 max_rays_per_dispatch: int = 1 << 20):
         from .evaluate import load_models
 
         self.params = load_models(ckpt_path)
@@ -229,6 +248,7 @@ class RenderService:
         self.batch_tiers: dict = {}  # tier -> times dispatched
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        self.max_rays_per_dispatch = max_rays_per_dispatch
         # request-supplied sizes recompile the jitted path (minutes on a
         # remote-tunneled TPU) while holding the device lock; only sizes
         # warmed at startup are accepted
@@ -259,7 +279,8 @@ class RenderService:
                 d = self._dispatchers.get(wh)
                 if d is None:
                     d = BatchingDispatcher(
-                        self, wh, self.max_batch, self.max_wait_ms
+                        self, wh, self.max_batch, self.max_wait_ms,
+                        max_rays=self.max_rays_per_dispatch,
                     )
                     self._dispatchers[wh] = d
         return d
@@ -466,6 +487,11 @@ def get_opts(argv=None):
                     help="how long the dispatcher holds the first request "
                          "open for stragglers before rendering (adaptive: "
                          "sequential singles skip the wait entirely)")
+    ap.add_argument("--max_rays_per_dispatch", type=int, default=1 << 20,
+                    help="cap on rays per device batch: large image sizes "
+                         "auto-degrade their batch tiers so coalescing "
+                         "stops at the latency-neutral point (800^2 "
+                         "degrades to singles at the 1M default)")
     ap.add_argument("--compute_dtype", default="auto",
                     choices=["auto", "bfloat16", "float32"],
                     help="auto = bfloat16 on TPU (f32 fallback if the "
@@ -479,6 +505,7 @@ def build_server(args, warm: bool = True) -> ThreadingHTTPServer:
         args.near, args.far, args.camera_angle_x, args.white_back,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         compute_dtype=args.compute_dtype,
+        max_rays_per_dispatch=args.max_rays_per_dispatch,
     )
     service.allowed_wh.update(args.extra_img_wh or [])
     if warm:

@@ -265,10 +265,14 @@ class NeRFSystem:
     # host-streaming: optimizer steps per dispatch (per-dispatch overhead is
     # ~20 ms through a remote-tunneled backend, so single-step dispatching
     # caps streaming throughput at well under half the device-resident rate)
-    STREAM_SLAB_STEPS = 16
+    STREAM_SLAB_STEPS = 16  # class default; cfg.stream_slab_steps overrides
 
     def _build_epoch_fn(self):
         if self.ray_store is not None:
+            self.STREAM_SLAB_STEPS = int(
+                getattr(self.cfg, "stream_slab_steps",
+                        self.STREAM_SLAB_STEPS) or self.STREAM_SLAB_STEPS
+            )
             # one program serves every slab length (steps come from shape)
             self._slab_fn = make_epoch_fn(
                 self.cfg, self.mesh, self.optimizer, self.white_back,

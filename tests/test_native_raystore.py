@@ -86,6 +86,23 @@ def test_streaming_training_mode(blender_root, tmp_path):
     assert len(losses) == 2 and np.isfinite(losses).all()
 
 
+def test_stream_slab_steps_flag(blender_root, tmp_path):
+    """--stream_slab_steps (round-5 sweep knob) reaches the epoch loop."""
+    from nerf_pl_tpu.config import Config
+    from nerf_pl_tpu.training.trainer import NeRFSystem
+
+    cfg = Config(
+        root_dir=blender_root, dataset_name="blender", img_wh=(16, 16),
+        N_samples=8, N_importance=8, batch_size=8, num_epochs=1, chunk=256,
+        lr=5e-3, exp_name="stream_slab", log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), num_sanity_val_steps=0,
+        data_device_resident=False, stream_slab_steps=4,
+    )
+    system = NeRFSystem(cfg)
+    assert system.STREAM_SLAB_STEPS == 4
+    system.fit()
+
+
 def test_nonmonotonic_epoch_access_is_deterministic(store):
     """Regression: a prefetch delivered for epoch e+1 but never consumed
     (because the caller jumped to an unrelated epoch) must not be handed
