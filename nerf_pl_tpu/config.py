@@ -75,6 +75,11 @@ class Config:
     # --- framework extensions (no reference equivalent) ---
     seed: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' for max MXU throughput
+    # global-norm gradient clipping (0 = off, the reference default: its
+    # Lightning Trainer leaves gradient_clip_val at 0).  Framework
+    # extension for shadow_method_2's reference-documented NaN fragility
+    # (efficient_shadow_mapping.py:110-112) — see training/optim.py.
+    grad_clip: float = 0.0
     # MLP trunk width W (reference models/nerf.py:25 fixes W=256).  Widths
     # 1024-2048 run the MXU at ~175 TF/s vs ~107 at 256 (docs/results.md
     # width ceiling) — this flag unlocks that tier for research/serving
@@ -196,6 +201,10 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
     # framework extensions
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype)
+    parser.add_argument("--grad_clip", type=float, default=d.grad_clip,
+                        help="global-norm gradient clip (0 = off; Lightning "
+                        "gradient_clip_val analog — guards shadow_method_2's "
+                        "reference-documented NaN blowups)")
     parser.add_argument("--arch_width", type=int, default=d.arch_width,
                         help="NeRF trunk width W (default 256 = reference "
                              "architecture; non-256 uses the XLA MLP path)")

@@ -133,7 +133,16 @@ def get_optimizer(
     schedule: optax.Schedule,
     momentum: float = 0.9,
     weight_decay: float = 0.0,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
+    """``grad_clip > 0`` prepends global-norm clipping — the analog of
+    Lightning's ``Trainer(gradient_clip_val=...)`` the reference leaves at
+    0.  shadow_method_2's min-max normalization is reference-documented as
+    NaN-prone (``efficient_shadow_mapping.py:110-112`` "Leads to nans");
+    a rare near-zero ``wl`` in the projective divide makes one step's
+    gradient explode, and clipping bounds it without changing the healthy-
+    step trajectory (measured: the exact submit_sm2 recipe NaNs at epoch
+    ~126 unclipped, completes 200 epochs with --grad_clip 1, results.md)."""
     eps = 1e-8
     # coupled (torch-L2, grad += wd*p BEFORE the moments) only for sgd/adam
     # — the reference's RAdam/Ranger/AdamW all apply DECOUPLED decay after
@@ -159,7 +168,10 @@ def get_optimizer(
     else:
         raise ValueError(f"optimizer {optimizer!r} not recognized!")
 
-    chain = optax.chain(*wd, *core, optax.scale_by_learning_rate(schedule))
+    clip = [optax.clip_by_global_norm(grad_clip)] if grad_clip > 0 else []
+    chain = optax.chain(
+        *clip, *wd, *core, optax.scale_by_learning_rate(schedule)
+    )
     if optimizer == "ranger":
         chain = lookahead(chain, k=6, alpha=0.5)
     return chain

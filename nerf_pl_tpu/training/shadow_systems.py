@@ -1275,7 +1275,8 @@ class ShadowMappingSystem:
             cfg.warmup_multiplier, cfg.warmup_epochs, cfg.optimizer,
         )
         self.optimizer = get_optimizer(
-            cfg.optimizer, self.schedule, cfg.momentum, cfg.weight_decay
+            cfg.optimizer, self.schedule, cfg.momentum, cfg.weight_decay,
+            grad_clip=cfg.grad_clip,
         )
         self.rng, kp = jax.random.split(self.rng)
         self.params = init_params(cfg, kp)

@@ -437,7 +437,8 @@ class NeRFSystem:
         )
         self.schedule = schedule
         self.optimizer = get_optimizer(
-            cfg.optimizer, schedule, cfg.momentum, cfg.weight_decay
+            cfg.optimizer, schedule, cfg.momentum, cfg.weight_decay,
+            grad_clip=cfg.grad_clip,
         )
         self.rng, kp = jax.random.split(self.rng)
         params = init_params(cfg, kp)
