@@ -62,12 +62,28 @@ def project_pixels(
     R: jnp.ndarray,  # (3,3) or (N,3,3)
     Q: jnp.ndarray,  # (3,) or (N,3)
 ) -> jnp.ndarray:
-    """K = (ul, vl, wl): camera pixels re-projected into the light PPC."""
+    """K = (ul, vl, wl): camera pixels re-projected into the light PPC.
+
+    The perspective divide is epsilon-guarded (signed, 1e-8): the
+    reference divides raw (``efficient_shadow_mapping.py:81-83``) and a
+    predicted depth whose projection crosses the light's image plane
+    (``wl ~ 0``) yields 0/0 = NaN in its forward — poisoning the whole
+    run through the loss.  Measured twice on chip with the exact
+    submit_sm2 recipe (NaN at epoch 126/200 and, reran, 56/200; gradient
+    clipping does not help because the FORWARD NaNs — results.md).  The
+    guard deviates from the reference only on that measure-zero set where
+    the reference produces NaN (there is no finite value to disagree
+    with); the guarded ``ul``/``vl`` then saturate at the viewport clamp
+    in ``gather_projected_depths``, exactly where any |wl|-small
+    projection already lands.  ``wl`` itself is returned unguarded — it
+    feeds ``diff = wl - gathered`` linearly and is finite."""
     proj = jnp.einsum("...kc,...c->...k", R, pixels)
     coords = w_cam[:, None] * proj + Q
     ul, vl, wl = coords[:, 0], coords[:, 1], coords[:, 2]
-    ul = ul / wl
-    vl = vl / wl
+    eps = jnp.asarray(1e-8, wl.dtype)
+    wl_safe = jnp.where(wl >= 0, jnp.maximum(wl, eps), jnp.minimum(wl, -eps))
+    ul = ul / wl_safe
+    vl = vl / wl_safe
     return jnp.stack([ul, vl, wl], axis=1)
 
 

@@ -139,10 +139,10 @@ def get_optimizer(
     Lightning's ``Trainer(gradient_clip_val=...)`` the reference leaves at
     0.  shadow_method_2's min-max normalization is reference-documented as
     NaN-prone (``efficient_shadow_mapping.py:110-112`` "Leads to nans");
-    a rare near-zero ``wl`` in the projective divide makes one step's
-    gradient explode, and clipping bounds it without changing the healthy-
-    step trajectory (measured: the exact submit_sm2 recipe NaNs at epoch
-    ~126 unclipped, completes 200 epochs with --grad_clip 1, results.md)."""
+    the likely mechanism is a near-zero ``wl`` in the projective divide
+    (grad ~ 1/wl^2) blowing up one step.  Clipping bounds any such step
+    without changing the healthy-step trajectory (measured: the exact
+    submit_sm2 recipe NaN'd at epoch 126/200 unclipped — results.md)."""
     eps = 1e-8
     # coupled (torch-L2, grad += wd*p BEFORE the moments) only for sgd/adam
     # — the reference's RAdam/Ranger/AdamW all apply DECOUPLED decay after

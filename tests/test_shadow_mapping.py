@@ -257,3 +257,36 @@ def test_efficient_sm_differentiable():
     g = jax.grad(loss)(jnp.asarray(rng.rand(n).astype(np.float32) * 5 + 1))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_projective_divide_guard_no_nan():
+    """A projection crossing the light's image plane (wl == 0) must stay
+    finite in forward AND gradient — the reference's raw divide NaNs here
+    (measured on chip twice with the submit_sm2 recipe; see
+    ops/shadow_mapping.py::project_pixels)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_pl_tpu.ops.shadow_mapping import (
+        gather_projected_depths,
+        generate_shadow_map,
+        project_pixels,
+    )
+
+    pixels = jnp.asarray([[0.5, 0.5, 1.0], [3.0, 2.0, 1.0]], jnp.float32)
+    R = jnp.eye(3)
+    Q = jnp.asarray([0.0, 0.0, -1.0])
+    light_depth = jnp.linspace(0.1, 1.0, 64)
+
+    def loss(w_cam):
+        K = project_pixels(pixels, w_cam, R, Q)
+        wl, wlb = gather_projected_depths((8, 8), K, light_depth)
+        sm = generate_shadow_map(wl, wlb, mode="shadow_method_2")
+        return sm.sum()
+
+    # w_cam[0] = 1.0 makes ray 0's wl = 1*1 + (-1) = 0 exactly
+    w = jnp.asarray([1.0, 0.7])
+    val, grad = jax.value_and_grad(loss)(w)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
