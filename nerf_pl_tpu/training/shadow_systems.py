@@ -67,11 +67,16 @@ from .metrics import psnr as psnr_metric
 from .trainer import NeRFSystem, init_params
 
 
-def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
+def _sigma_render_kwargs(cfg: Config, n_importance: int, train: bool = True) -> dict:
     """Packed channel-major ray IO is on for every render (camera batches,
     light caches, whole images): measured +10% train-step / +23%
     whole-image / +4.7% light fwd+bwd once the transposed backward's
-    identity-size bug was fixed (docs/results.md round 3)."""
+    identity-size bug was fixed (docs/results.md round 3).
+
+    ``--remat_fine`` is honored for TRAIN renders (round 5): the
+    grad_on_light recipes at N_importance/Light_N 128 differentiate TWO
+    786k-point fine passes in one step — the 64x64ManStatue recipe OOMs
+    HBM by 0.7 GB without rematerialization (measured; results.md)."""
     from .trainer import use_fused_for_backend
 
     return dict(
@@ -84,6 +89,7 @@ def _sigma_render_kwargs(cfg: Config, n_importance: int) -> dict:
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         use_fused=use_fused_for_backend(cfg),
         fused_channel_io=cfg.fused_channel_io,
+        remat_fine=cfg.remat_fine if train else False,
     )
 
 
@@ -629,7 +635,7 @@ class EfficientSMSystem(_ShadowSystemBase):
     # -- validation: full-image camera + light render then compositing ------
     def validation(self, epoch: int, max_images: Optional[int] = None):
         cfg = self.cfg
-        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance, train=False)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -887,7 +893,7 @@ class RGBSMSystem(EfficientSMSystem):
             use_fused=use_fused_for_backend(cfg),
             fused_channel_io=cfg.fused_channel_io,
         )
-        rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw_light = _sigma_render_kwargs(cfg, cfg.N_importance, train=False)
         n_img = len(self.val_dataset)
         if max_images is not None:
             n_img = min(n_img, max_images)
@@ -1366,7 +1372,7 @@ class ShadowMappingSystem:
         (eval batch size is always 1, ``:167``), log val loss/PSNR and dump
         gt/rgb/depth PNGs for the first frame."""
         cfg = self.cfg
-        rkw = _sigma_render_kwargs(cfg, cfg.N_importance)
+        rkw = _sigma_render_kwargs(cfg, cfg.N_importance, train=False)
         fine = cfg.N_importance > 0
         n_img = len(self.val_dataset)
         if max_images is not None:
