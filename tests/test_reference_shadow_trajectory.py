@@ -339,3 +339,168 @@ def test_grad_on_light_trajectory_tracks(scene, p0):
     np.testing.assert_allclose(jl[0], tl[0], rtol=1e-5)
     np.testing.assert_allclose(jl, tl, rtol=2e-2, atol=1e-5)
     _final_params_close(jparams, tmodels)
+
+
+# -- the joint RGB+SM trainer (train_rgb_sm_juntos.py) -----------------------
+
+
+def _load_ref_rgb_sm_trainer():
+    load_reference()
+    _load_ref_trainer()  # installs the Lightning stub
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_rgb_sm", f"{REFERENCE_ROOT}/train_rgb_sm_juntos.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def rgb_scene(shadow_root):
+    from nerf_pl_tpu.data.blender_rgb_shadows import BlenderRGBEfficientShadows
+
+    ds = BlenderRGBEfficientShadows(shadow_root, "train", img_wh=WH)
+    return {
+        "rays": np.asarray(ds.all_rays, np.float32),
+        "rgbs": np.asarray(ds.all_rgbs, np.float32),
+        "sms": np.asarray(ds.all_sm, np.float32),
+        "pixels": np.asarray(ds.all_pixels, np.float32),
+        "pose_idx": np.asarray(ds.pose_idx, np.int32),
+        "cam_ms": np.asarray(ds.cam_ms, np.float32),
+        "cam_eyes": np.asarray(ds.cam_eyes, np.float32),
+        "light_rays": np.asarray(ds.light.rays, np.float32),
+        "light_pixels": np.asarray(ds.light.pixels, np.float32),
+        "light_m": np.asarray(ds.light.camera, np.float32),
+        "light_eye": np.asarray(ds.light.eye_pos, np.float32),
+    }
+
+
+def test_rgb_sm_trajectory_tracks(rgb_scene, p0):
+    """24 steps of the joint RGB+SM trainer (train_rgb_sm_juntos.py:
+    rgb_weight*mse(rgb) + sm_weight*mse(sm), light cache refreshed every
+    2 steps) against our rgb_disp render + out_prefix='sm' composite."""
+    from nerf_pl_tpu.training.losses import sm_loss as our_sm_loss
+
+    steps, every, light_n = 24, 2, 0
+    rgb_w, sm_w = 1.0, 0.4
+    scene = rgb_scene
+    num_poses = scene["cam_ms"].shape[0]
+    params0 = {"coarse": p0["c"], "fine": p0["f"]}
+    draws = _draws(steps, _ref_light_steps(steps, every), light_n, seed=17)
+    scene_j = {k: jnp.asarray(v) for k, v in scene.items()}
+
+    # ---- ours: RGBSMSystem step math (shadow_systems.py:718-761) --------
+    rkw_cam = dict(N_samples=NS, use_disp=False, perturb=0.0, noise_std=0.0,
+                   N_importance=NI, mode="rgb_disp", white_back=True)
+    rkw_light = dict(N_samples=NS, use_disp=False, perturb=0.0,
+                     noise_std=0.0, N_importance=light_n, mode="sigma")
+
+    def light_cache(p):
+        r = render_rays(p["coarse"], p["fine"], scene_j["light_rays"], None,
+                        **rkw_light)
+        return {"depth_coarse": r["depth_coarse"],
+                "depth_fine": r.get("depth_fine", r["depth_coarse"])}
+
+    def loss_fn(p, batch, cache, ov):
+        rays, rgbs, sms, pixels, pidx = batch
+        cam = render_rays(p["coarse"], p["fine"], rays, None,
+                          overrides={"u": ov["u"], "jitter": ov["jitter"]},
+                          **rkw_cam)
+        out = efficient_sm(
+            pixels, scene_j["light_pixels"], cam, cache,
+            scene_j["cam_ms"][pidx], scene_j["cam_eyes"][pidx],
+            scene_j["light_m"], scene_j["light_eye"], WH,
+            fine_sampling=True, light_has_fine=False,
+            shadow_method="shadow_method_2", pose_idx=pidx,
+            num_poses=num_poses, out_prefix="sm",
+        )
+        return rgb_w * mse_loss(out, rgbs) + sm_w * our_sm_loss(out, sms)
+
+    opt = optax.adam(LR, eps=1e-8)
+    params, opt_state = params0, opt.init(params0)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    cache_fn = jax.jit(light_cache)
+    update = jax.jit(lambda g, s, p: opt.update(g, s, p))
+    n = scene["rays"].shape[0]
+    cache = None
+    jl = []
+    for s in range(steps):
+        lo = (s * B) % (n - B + 1)
+        batch = tuple(scene_j[k][lo:lo + B]
+                      for k in ("rays", "rgbs", "sms", "pixels", "pose_idx"))
+        if s % every == 0 or s == 0:
+            cache = jax.tree_util.tree_map(
+                jax.lax.stop_gradient, cache_fn(params))
+        loss, grads = grad_fn(params, batch, cache, draws[s])
+        updates, opt_state = update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        jl.append(float(loss))
+    jl = np.array(jl)
+
+    # ---- reference: the ACTUAL train_rgb_sm_juntos training_step --------
+    ref = load_reference()
+    tes = _load_ref_rgb_sm_trainer()
+    hp = types.SimpleNamespace(
+        loss_type="mse", grad_on_light=False,
+        sample_light_depth_every=every, Light_N_importance=light_n,
+        N_importance=NI, N_samples=NS, use_disp=False, perturb=0.0,
+        noise_std=0.0, chunk=1 << 15, batch_size=B, img_wh=list(WH),
+        shadow_method="shadow_method_2", rgb_weight=rgb_w, sm_weight=sm_w,
+    )
+    system = tes.NeRFSystem(hp)
+    mc = params_to_ref_nerf(params0["coarse"], ref.nerf.NeRF,
+                            requires_grad=True)
+    mf = params_to_ref_nerf(params0["fine"], ref.nerf.NeRF,
+                            requires_grad=True)
+    system.nerf_coarse, system.nerf_fine = mc, mf
+    system.models = [mc, mf]
+    system.train_dataset = types.SimpleNamespace(white_back=True)
+    system.light_rays = torch.from_numpy(scene["light_rays"])
+    system.light_pixels = torch.from_numpy(scene["light_pixels"])
+    system.light_ppc = ref.camera.Camera.from_camera_eyepos(
+        eye_pos=torch.from_numpy(scene["light_eye"]),
+        camera=torch.from_numpy(scene["light_m"]),
+    )
+    system.optimizer = torch.optim.Adam(
+        list(mc.parameters()) + list(mf.parameters()), lr=LR, eps=1e-8
+    )
+    light_steps = _ref_light_steps(steps, every)
+    hw = WH[0] * WH[1]
+    tl = []
+    for s in range(steps):
+        lo = (s * B) % (n - B + 1)
+        sl = slice(lo, lo + B)
+        pidx = scene["pose_idx"][sl]
+        batch = {
+            "rays": torch.from_numpy(scene["rays"][sl]),
+            "rgbs": torch.from_numpy(scene["rgbs"][sl]),
+            "sm": torch.from_numpy(scene["sms"][sl]),
+            "pixels": torch.from_numpy(scene["pixels"][sl]),
+            "ppc": {
+                "eye_pos": torch.from_numpy(scene["cam_eyes"][pidx]),
+                "camera": torch.from_numpy(scene["cam_ms"][pidx]),
+            },
+        }
+        ov = draws[s]
+        queue = [
+            ("randn", np.zeros((B, NS), np.float32)),
+            ("rand", ov["u"]),
+            ("rand_like", ov["jitter"]),
+            ("randn", np.zeros((B, NS + NI), np.float32)),
+        ]
+        if s in light_steps:
+            queue.append(("randn", np.zeros((hw, NS), np.float32)))
+        with InjectRandom(queue):
+            out = system.training_step(batch, s)
+        loss = out["loss"]
+        system.optimizer.zero_grad()
+        loss.backward()
+        system.optimizer.step()
+        tl.append(float(loss.detach()))
+    tl = np.array(tl)
+
+    np.testing.assert_allclose(jl[0], tl[0], rtol=1e-5)
+    np.testing.assert_allclose(jl[:10], tl[:10], rtol=2e-2, atol=1e-5)
+    np.testing.assert_allclose(jl, tl, rtol=0.1, atol=1e-5)
+    np.testing.assert_allclose(jl.mean(), tl.mean(), rtol=2e-2)
+    _final_params_close(params, {"coarse": mc, "fine": mf})
