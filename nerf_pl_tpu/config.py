@@ -101,6 +101,13 @@ class Config:
     # host-streaming mode: optimizer steps per device dispatch.  16 was the
     # round-3 default; swept 8/16/32/64 on hardware in round 5 (results.md)
     stream_slab_steps: int = 16
+    # shadow trainers (efficient_sm / rgb_sm): cap on optimizer steps per
+    # device program (0 = whole epoch in one program).  The 128² recipes'
+    # per-step differentiable light render makes whole-epoch programs
+    # minutes long — past what the remote-tunneled worker survives
+    # (results.md round 5); sliced dispatches reproduce the monolithic
+    # trajectory exactly.
+    max_steps_per_dispatch: int = 0
     # pod-scale host data pipeline (SURVEY.md §7): each host loads only its
     # own image subset (frames[process_index::process_count]) and the global
     # buffer is assembled from per-process shards — no host ever holds the
@@ -224,6 +231,11 @@ def _add_reference_flags(parser: argparse.ArgumentParser) -> None:
                         help="host-streaming mode: optimizer steps batched "
                         "into one device dispatch (amortizes the ~20 ms "
                         "remote-tunnel dispatch cost)")
+    parser.add_argument("--max_steps_per_dispatch", type=int,
+                        default=d.max_steps_per_dispatch,
+                        help="shadow trainers: bound one device program's "
+                        "step count (0 = whole epoch); identical "
+                        "trajectory, bounded program runtime")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host pod slice: jax.distributed."
                         "initialize() before building the device mesh")

@@ -431,9 +431,28 @@ class EfficientSMSystem(_ShadowSystemBase):
             return int(rng.choice([0, 8, 16, 32]))
         return cfg.Light_N_importance
 
-    def _epoch_fn_for(self, light_n: int):
-        if light_n in self._epoch_fns:
-            return self._epoch_fns[light_n]
+    def _dispatch_plan(self):
+        """Split the epoch into (buf_step0, n_steps) device dispatches.
+
+        ``--max_steps_per_dispatch`` bounds one device program's length:
+        the 128² grad_on_light recipes put a ~2M-point differentiable
+        light render in EVERY step, and a whole-epoch program (640 steps,
+        minutes of device time) crashes the remote-tunneled TPU worker —
+        measured twice, while 128-step dispatches run fine (results.md).
+        Bounded dispatches also tighten preemption granularity.  The
+        sliced trajectory is IDENTICAL to the monolithic one (rng keys
+        and cache-refresh schedule are phrased on within-epoch indices;
+        the light cache carries across dispatches)."""
+        msd = int(getattr(self.cfg, "max_steps_per_dispatch", 0) or 0)
+        steps = self.steps_per_epoch
+        if msd <= 0 or msd >= steps:
+            return [(0, None)]  # whole epoch, steps from the buffer shape
+        return [(lo, min(msd, steps - lo)) for lo in range(0, steps, msd)]
+
+    def _epoch_fn_for(self, light_n: int, n_steps: Optional[int] = None):
+        cache_key = (light_n, n_steps)
+        if cache_key in self._epoch_fns:
+            return self._epoch_fns[cache_key]
         cfg = self.cfg
         mesh = self.mesh
         optimizer = self.optimizer
@@ -502,16 +521,21 @@ class EfficientSMSystem(_ShadowSystemBase):
 
         def device_epoch(
             params, opt_state, light_depths, rays, rgbs, pixels, pose_idx,
-            light_rays_in, tables, epoch_key, step0,
+            light_rays_in, tables, epoch_key, step0, buf_step0,
         ):
+            # steps: static slab length, or the whole local buffer.
+            # buf_step0 (traced) is the within-epoch step offset — rng
+            # keys, buffer slices and the refresh schedule all use the
+            # within-epoch index so a sliced epoch bit-matches monolithic
             n_loc = rays.shape[0]
-            steps = n_loc // B
+            steps = n_steps if n_steps is not None else n_loc // B
             dev = jax.lax.axis_index("rays")
 
             def body(carry, i):
                 params, opt_state, light_depths = carry
-                gstep = step0 + i
-                key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
+                ei = buf_step0 + i  # within-epoch step index
+                gstep = step0 + ei
+                key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), ei)
                 kup, kstep = jax.random.split(key)
                 # with grad_on_light the loss re-renders the light view with
                 # gradients enabled every step (reference renders it exactly
@@ -519,12 +543,12 @@ class EfficientSMSystem(_ShadowSystemBase):
                 # the no-grad cache here would double the light-render cost
                 if not grad_on_light:
                     light_depths = jax.lax.cond(
-                        # i == 0: the cache buffer is zeroed at each epoch
+                        # ei == 0: the cache buffer is zeroed at each epoch
                         # start, so always refresh on the first step —
                         # otherwise epochs whose step0 is not a k_update
                         # multiple would train early steps against an
                         # all-zero light depth map
-                        (gstep % k_update == 0) | (i == 0),
+                        (gstep % k_update == 0) | (ei == 0),
                         lambda p: jax.lax.stop_gradient(
                             light_render(p, light_rays_in, kup, rkw_light)
                         ),
@@ -532,7 +556,7 @@ class EfficientSMSystem(_ShadowSystemBase):
                         params,
                     )
                 # contiguous slice batching (reference shuffle=False parity)
-                sl = i * B
+                sl = ei * B
                 batch = (
                     jax.lax.dynamic_slice_in_dim(rays, sl, B),
                     jax.lax.dynamic_slice_in_dim(rgbs, sl, B),
@@ -563,12 +587,12 @@ class EfficientSMSystem(_ShadowSystemBase):
             in_specs=(
                 P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
                 P("rays") if self.shard_light else P(),
-                P(), P(), P(),
+                P(), P(), P(), P(),
             ),
             out_specs=(P(), P(), P(), P(), P(), P()),
         )
         jitted = jax.jit(fn, donate_argnums=(0, 1, 2))
-        self._epoch_fns[light_n] = jitted
+        self._epoch_fns[cache_key] = jitted
         return jitted
 
     def _init_light_cache(self):
@@ -591,22 +615,29 @@ class EfficientSMSystem(_ShadowSystemBase):
         if cfg.num_sanity_val_steps > 0:
             print(f"[sanity] {self.validation(0, max_images=cfg.num_sanity_val_steps)}")
         global_step = self.epoch0 * self.steps_per_epoch
+        plan = self._dispatch_plan()
         for epoch in range(self.epoch0, cfg.num_epochs):
             self._last_epoch = epoch
             light_n = self._resolve_light_n(epoch)
-            epoch_fn = self._epoch_fn_for(light_n)
             light_cache = self._init_light_cache()
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
-            (
-                self.params, self.opt_state, _, losses, psnrs, op_losses
-            ) = epoch_fn(
-                self.params, self.opt_state, light_cache, self.rays_buf,
-                self.rgbs_buf, self.pixels_buf, self.pose_idx_buf,
-                self.light_rays_in, self._tables(), ek,
-                jnp.int32(global_step),
+            parts = []
+            for lo, k in plan:
+                epoch_fn = self._epoch_fn_for(light_n, k)
+                (
+                    self.params, self.opt_state, light_cache, lk, pk, ok
+                ) = epoch_fn(
+                    self.params, self.opt_state, light_cache, self.rays_buf,
+                    self.rgbs_buf, self.pixels_buf, self.pose_idx_buf,
+                    self.light_rays_in, self._tables(), ek,
+                    jnp.int32(global_step), jnp.int32(lo),
+                )
+                parts.append((lk, pk, ok))
+            losses, psnrs, op_losses = (
+                np.concatenate([np.asarray(x[j]) for x in parts])
+                for j in range(3)
             )
-            losses, psnrs = np.asarray(losses), np.asarray(psnrs)
             dt = time.time() - t0
             global_step += self.steps_per_epoch
             self.logger.scalars(
@@ -706,9 +737,10 @@ class RGBSMSystem(EfficientSMSystem):
             self._train_bufs["all_sm"], self.mesh, local=self._per_host
         )
 
-    def _epoch_fn_for(self, light_n: int):
-        if light_n in self._epoch_fns:
-            return self._epoch_fns[light_n]
+    def _epoch_fn_for(self, light_n: int, n_steps: Optional[int] = None):
+        cache_key = (light_n, n_steps)
+        if cache_key in self._epoch_fns:
+            return self._epoch_fns[cache_key]
         cfg = self.cfg
         mesh = self.mesh
         optimizer = self.optimizer
@@ -766,15 +798,18 @@ class RGBSMSystem(EfficientSMSystem):
 
         def device_epoch(
             params, opt_state, light_depths, rays, rgbs, sms, pixels,
-            pose_idx, light_rays_in, tables, epoch_key, step0,
+            pose_idx, light_rays_in, tables, epoch_key, step0, buf_step0,
         ):
-            steps = rays.shape[0] // B
+            # see EfficientSMSystem.device_epoch: within-epoch index ei
+            # makes sliced dispatches bit-match the monolithic epoch
+            steps = n_steps if n_steps is not None else rays.shape[0] // B
             dev = jax.lax.axis_index("rays")
 
             def body(carry, i):
                 params, opt_state, light_depths = carry
-                gstep = step0 + i
-                key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), i)
+                ei = buf_step0 + i
+                gstep = step0 + ei
+                key = jax.random.fold_in(jax.random.fold_in(epoch_key, dev), ei)
                 kup, kstep = jax.random.split(key)
                 # with grad_on_light the loss re-renders the light view with
                 # gradients enabled every step (reference renders it exactly
@@ -782,19 +817,19 @@ class RGBSMSystem(EfficientSMSystem):
                 # the no-grad cache here would double the light-render cost
                 if not grad_on_light:
                     light_depths = jax.lax.cond(
-                        # i == 0: the cache buffer is zeroed at each epoch
+                        # ei == 0: the cache buffer is zeroed at each epoch
                         # start, so always refresh on the first step —
                         # otherwise epochs whose step0 is not a k_update
                         # multiple would train early steps against an
                         # all-zero light depth map
-                        (gstep % k_update == 0) | (i == 0),
+                        (gstep % k_update == 0) | (ei == 0),
                         lambda p: jax.lax.stop_gradient(
                             light_render(p, light_rays_in, kup, rkw_light)
                         ),
                         lambda p: light_depths,
                         params,
                     )
-                sl = i * B
+                sl = ei * B
                 batch = (
                     jax.lax.dynamic_slice_in_dim(rays, sl, B),
                     jax.lax.dynamic_slice_in_dim(rgbs, sl, B),
@@ -824,12 +859,12 @@ class RGBSMSystem(EfficientSMSystem):
             in_specs=(
                 P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
                 P("rays"), P("rays") if self.shard_light else P(),
-                P(), P(), P(),
+                P(), P(), P(), P(),
             ),
             out_specs=(P(), P(), P(), P(), P(), P()),
         )
         jitted = jax.jit(fn, donate_argnums=(0, 1, 2))
-        self._epoch_fns[light_n] = jitted
+        self._epoch_fns[cache_key] = jitted
         return jitted
 
     def fit(self):
@@ -841,19 +876,25 @@ class RGBSMSystem(EfficientSMSystem):
         for epoch in range(self.epoch0, cfg.num_epochs):
             self._last_epoch = epoch
             light_n = self._resolve_light_n(epoch)
-            epoch_fn = self._epoch_fn_for(light_n)
             light_cache = self._init_light_cache()
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
-            (
-                self.params, self.opt_state, _, losses, psnrs, sm_psnrs
-            ) = epoch_fn(
-                self.params, self.opt_state, light_cache, self.rays_buf,
-                self.rgbs_buf, self.sm_buf, self.pixels_buf,
-                self.pose_idx_buf, self.light_rays_in, self._tables(), ek,
-                jnp.int32(global_step),
+            parts = []
+            for lo, k in self._dispatch_plan():
+                epoch_fn = self._epoch_fn_for(light_n, k)
+                (
+                    self.params, self.opt_state, light_cache, lk, pk, sk
+                ) = epoch_fn(
+                    self.params, self.opt_state, light_cache, self.rays_buf,
+                    self.rgbs_buf, self.sm_buf, self.pixels_buf,
+                    self.pose_idx_buf, self.light_rays_in, self._tables(),
+                    ek, jnp.int32(global_step), jnp.int32(lo),
+                )
+                parts.append((lk, pk, sk))
+            losses, psnrs, sm_psnrs = (
+                np.concatenate([np.asarray(x[j]) for x in parts])
+                for j in range(3)
             )
-            losses = np.asarray(losses)
             dt = time.time() - t0
             global_step += self.steps_per_epoch
             self.logger.scalars(

@@ -271,3 +271,45 @@ def test_global_reshuffle_policy(shadow_root, tmp_path):
              batch_size=8, chunk=64, **kw)
     )
     system.fit()  # engages _reshuffle_buffers from the kept host copies
+
+
+def test_max_steps_per_dispatch_trajectory_identical(shadow_root, tmp_path):
+    """--max_steps_per_dispatch slices an epoch into bounded device
+    programs; the trajectory must be IDENTICAL to the monolithic epoch
+    (same rng keys, same cache-refresh schedule, light cache carried
+    across dispatches).  Covers both the staleness path and grad_on_light,
+    for EfficientSM and RGBSM."""
+    import jax
+    import numpy as np
+
+    from nerf_pl_tpu.training.shadow_systems import (
+        EfficientSMSystem,
+        RGBSMSystem,
+    )
+
+    def digest(tree):
+        return [np.asarray(l) for l in jax.tree_util.tree_leaves(
+            jax.device_get(tree))]
+
+    def run(cls, tmp, **kw):
+        cfg = _cfg(shadow_root, tmp, num_epochs=2, **kw)
+        system = cls(cfg)
+        params = system.fit()
+        recs = [l for l in open(f"{system.logger.dir}/metrics.jsonl")]
+        return digest(params), recs
+
+    for cls, extra in [
+        (EfficientSMSystem, dict()),
+        (EfficientSMSystem, dict(grad_on_light=True)),
+        (RGBSMSystem, dict(dataset_name="rgb_sm")),
+    ]:
+        name = f"{cls.__name__}_{'gol' if extra.get('grad_on_light') else 'st'}"
+        mono, mono_recs = run(cls, tmp_path / f"{name}_mono", **extra)
+        # steps_per_epoch = 3*64/8 = 24 -> 3 slabs of 7 + remainder 3
+        sliced, sliced_recs = run(
+            cls, tmp_path / f"{name}_sliced",
+            max_steps_per_dispatch=7, **extra,
+        )
+        assert len(mono) == len(sliced)
+        for a, b in zip(mono, sliced):
+            np.testing.assert_array_equal(a, b)
