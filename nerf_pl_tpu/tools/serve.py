@@ -131,13 +131,14 @@ class BatchingDispatcher:
         # SLOWER end-to-end than singles (benchmarks/serve_tpu_800.json).
         # Large sizes therefore auto-degrade to the largest tier that fits
         # the ray budget (never below 1).
-        eff = max_batch
-        while eff > 1 and eff * wh * wh > max_rays:
-            eff //= 2
-        self.max_batch = eff
+        ladder = [t for t in (1, 2, 4, 8, 16, 32, 64) if t < max_batch]
+        ladder.append(max_batch)
+        # keep the largest LADDER tiers that fit the ray budget (always
+        # tier 1): halving max_batch instead would skip feasible
+        # intermediate tiers for non-power-of-two --max_batch values
+        self.tiers = [t for t in ladder if t == 1 or t * wh * wh <= max_rays]
+        self.max_batch = self.tiers[-1]
         self.max_wait = max_wait_ms / 1000.0
-        self.tiers = [t for t in (1, 2, 4, 8, 16, 32, 64) if t < eff]
-        self.tiers.append(eff)
         self.q: "queue.SimpleQueue[_Pending]" = queue.SimpleQueue()
         self._last_batch = 1  # adaptive: singles skip the straggler wait
         self._thread = threading.Thread(

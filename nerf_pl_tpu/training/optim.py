@@ -168,10 +168,24 @@ def get_optimizer(
     else:
         raise ValueError(f"optimizer {optimizer!r} not recognized!")
 
-    clip = [optax.clip_by_global_norm(grad_clip)] if grad_clip > 0 else []
-    chain = optax.chain(
-        *clip, *wd, *core, optax.scale_by_learning_rate(schedule)
-    )
+    chain = optax.chain(*wd, *core, optax.scale_by_learning_rate(schedule))
     if optimizer == "ranger":
         chain = lookahead(chain, k=6, alpha=0.5)
+    if grad_clip > 0:
+        # STATELESS wrapper, not a chain slot: clip_by_global_norm in the
+        # chain would add an (empty) entry to the opt_state tuple, making
+        # checkpoints saved with and without --grad_clip structurally
+        # incompatible — and the flag's primary use is RESUMING a NaN'd
+        # run with clipping on.  Scaling grads before the chain keeps the
+        # state pytree identical either way (torch semantics: scale by
+        # min(1, clip/norm), exactly Lightning's gradient_clip_val).
+        inner = chain
+
+        def update(grads, state, params=None):
+            gn = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gn, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            return inner.update(grads, state, params)
+
+        chain = optax.GradientTransformation(inner.init, update)
     return chain

@@ -439,10 +439,13 @@ class EfficientSMSystem(_ShadowSystemBase):
         light render in EVERY step, and a whole-epoch program (640 steps,
         minutes of device time) crashes the remote-tunneled TPU worker —
         measured twice, while 128-step dispatches run fine (results.md).
-        Bounded dispatches also tighten preemption granularity.  The
-        sliced trajectory is IDENTICAL to the monolithic one (rng keys
-        and cache-refresh schedule are phrased on within-epoch indices;
-        the light cache carries across dispatches)."""
+        The sliced trajectory is IDENTICAL to the monolithic one (rng
+        keys and cache-refresh schedule are phrased on within-epoch
+        indices; the light cache carries across dispatches).
+        Checkpoint/resume stays EPOCH-granular: a preemption landing
+        between slabs saves epoch e-1 so resume re-runs the interrupted
+        epoch in full (see ``_fit_prologue`` — labeling mid-epoch params
+        as epoch e would make resume skip the remaining slabs)."""
         msd = int(getattr(self.cfg, "max_steps_per_dispatch", 0) or 0)
         steps = self.steps_per_epoch
         if msd <= 0 or msd >= steps:
@@ -623,7 +626,11 @@ class EfficientSMSystem(_ShadowSystemBase):
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
             parts = []
-            for lo, k in plan:
+            # mid-epoch params must not be checkpointed AS epoch e: mark
+            # the epoch incomplete until the last slab lands so a SIGTERM
+            # between dispatches saves epoch e-1 and resume re-runs e
+            self._epoch_complete = len(plan) == 1
+            for si, (lo, k) in enumerate(plan):
                 epoch_fn = self._epoch_fn_for(light_n, k)
                 (
                     self.params, self.opt_state, light_cache, lk, pk, ok
@@ -634,6 +641,8 @@ class EfficientSMSystem(_ShadowSystemBase):
                     jnp.int32(global_step), jnp.int32(lo),
                 )
                 parts.append((lk, pk, ok))
+                if si == len(plan) - 1:
+                    self._epoch_complete = True
             losses, psnrs, op_losses = (
                 np.concatenate([np.asarray(x[j]) for x in parts])
                 for j in range(3)
@@ -880,7 +889,9 @@ class RGBSMSystem(EfficientSMSystem):
             self.rng, ek = jax.random.split(self.rng)
             t0 = time.time()
             parts = []
-            for lo, k in self._dispatch_plan():
+            plan = self._dispatch_plan()
+            self._epoch_complete = len(plan) == 1  # see EfficientSM.fit
+            for si, (lo, k) in enumerate(plan):
                 epoch_fn = self._epoch_fn_for(light_n, k)
                 (
                     self.params, self.opt_state, light_cache, lk, pk, sk
@@ -891,6 +902,8 @@ class RGBSMSystem(EfficientSMSystem):
                     ek, jnp.int32(global_step), jnp.int32(lo),
                 )
                 parts.append((lk, pk, sk))
+                if si == len(plan) - 1:
+                    self._epoch_complete = True
             losses, psnrs, sm_psnrs = (
                 np.concatenate([np.asarray(x[j]) for x in parts])
                 for j in range(3)

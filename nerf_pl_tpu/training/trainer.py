@@ -269,10 +269,15 @@ class NeRFSystem:
 
     def _build_epoch_fn(self):
         if self.ray_store is not None:
-            self.STREAM_SLAB_STEPS = int(
-                getattr(self.cfg, "stream_slab_steps",
-                        self.STREAM_SLAB_STEPS) or self.STREAM_SLAB_STEPS
-            )
+            slab = int(getattr(self.cfg, "stream_slab_steps", 0) or 0)
+            if slab < 0:
+                # a negative slab would make every streaming epoch a
+                # silent zero-step no-op (range(min(slab, ...)) is empty)
+                raise ValueError(
+                    f"--stream_slab_steps must be positive (got {slab})"
+                )
+            if slab > 0:
+                self.STREAM_SLAB_STEPS = slab  # 0 keeps the class default
             # one program serves every slab length (steps come from shape)
             self._slab_fn = make_epoch_fn(
                 self.cfg, self.mesh, self.optimizer, self.white_back,
@@ -664,6 +669,16 @@ class NeRFSystem:
         from ..utils.profiling import install_preemption_handler
 
         self._last_epoch = self.epoch0
+        # epoch-completeness marker for SLICED epochs (shadow trainers'
+        # --max_steps_per_dispatch): a SIGTERM between slab dispatches
+        # sees mid-epoch params; labeling them epoch e would make resume
+        # (epoch0 = e+1) silently skip the epoch's remaining steps.  The
+        # sliced fit clears this at epoch start and sets it after the
+        # last slab; the handler then labels an incomplete epoch e-1, so
+        # resume RE-RUNS epoch e in full (conservative: no data skipped,
+        # a partial epoch of extra updates — same recovery semantics as
+        # the reference's crash-and-resume from the last epoch ckpt)
+        self._epoch_complete = True
 
         def preempt_save():
             # flush pending background writes first (ordered), then save
@@ -671,7 +686,8 @@ class NeRFSystem:
             # BOUNDED drain: the handler runs on the main thread, which may
             # hold a lock a queued write needs (io_async.AsyncWriter.drain)
             self._writer.drain(timeout=5.0)
-            self.save_ckpt(self._last_epoch, None, filename="preempt.ckpt",
+            epoch = self._last_epoch - (0 if self._epoch_complete else 1)
+            self.save_ckpt(epoch, None, filename="preempt.ckpt",
                            background=False)
 
         install_preemption_handler(preempt_save)

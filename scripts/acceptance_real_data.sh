@@ -47,8 +47,16 @@ python train.py \
   --exp_name acceptance_lego "${EXTRA[@]}" \
   --log_dir "$OUT/logs" --ckpt_dir "$OUT/ckpts"
 
+# top-5 val-loss pruning may have dropped the literal last epoch — eval
+# the newest surviving checkpoint (the reference's eval.py is likewise
+# pointed at whichever ckpt the ModelCheckpoint callback kept)
 CKPT="$OUT/ckpts/acceptance_lego/epoch=$LAST.ckpt"
-test -f "$CKPT" || { echo "FAIL: $CKPT missing after training" >&2; exit 2; }
+if [ ! -f "$CKPT" ]; then
+  CKPT=$(ls -v "$OUT"/ckpts/acceptance_lego/epoch=*.ckpt 2>/dev/null | tail -1)
+fi
+test -n "$CKPT" && test -f "$CKPT" || {
+  echo "FAIL: no checkpoint found after training" >&2; exit 2; }
+echo "evaluating $CKPT"
 
 echo "== eval: ${WH}^2 test split (README.md:150-161) =="
 python eval.py \

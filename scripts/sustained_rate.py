@@ -23,12 +23,20 @@ def report(path: str, skip_first: int = 1, skip_last: int = 1):
         sys.exit("no train/rays_per_s records (only the vanilla trainer "
                  "logs the finalize-to-finalize rate)")
     core = rates[skip_first: n - skip_last] if n > skip_first + skip_last else rates
+    # cycle stats over the SAME core window as the rates: dts[i] is the
+    # cycle ending at times[i+1], so the core cycles are dts[skip_first-1
+    # : -skip_last] (the compile cycle precedes times[0] entirely, but a
+    # late-compiled remainder program or the drain cycle would otherwise
+    # skew the mean against the reported rays/s)
+    dts = np.diff(times)
+    core_dts = (dts[max(0, skip_first - 1): len(dts) - skip_last]
+                if len(dts) > skip_first + skip_last else dts)
     out = {
         "epochs": n,
         "mean_rays_per_s": round(float(np.mean(core)), 1),
         "median_rays_per_s": round(float(np.median(core)), 1),
         "p5_rays_per_s": round(float(np.percentile(core, 5)), 1),
-        "mean_cycle_s": round(float(np.mean(np.diff(times))), 3) if n > 1 else None,
+        "mean_cycle_s": round(float(np.mean(core_dts)), 3) if len(core_dts) else None,
         "wall_s": round(times[-1] - times[0], 1) if n > 1 else None,
     }
     print(json.dumps(out))

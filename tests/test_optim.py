@@ -146,3 +146,13 @@ def test_grad_clip_bounds_exploding_step():
     np.testing.assert_allclose(
         np.asarray(u3["w"]), np.asarray(u4["w"]), rtol=1e-6
     )
+    # the clip is a STATELESS wrapper: opt_state pytrees are structurally
+    # identical with and without it, so a run that NaN'd unclipped can be
+    # full-state-resumed WITH --grad_clip (and vice versa)
+    import jax
+
+    assert (jax.tree_util.tree_structure(st3)
+            == jax.tree_util.tree_structure(st4))
+    # cross-resume smoke: unclipped state drives the clipped optimizer
+    u5, _ = clipped.update(small, st3, params)
+    assert np.isfinite(np.asarray(u5["w"])).all()
